@@ -1,0 +1,163 @@
+"""Host-side batched data loader with threaded decode + prefetch.
+
+Replaces the reference's torch ``DataLoader`` + worker processes + pinned
+memory + ``DistributedSampler`` (``src/data/data_loader.py:11-51``):
+
+* JPEG decode/resize in a thread pool (PIL releases the GIL for decode);
+* batches assembled as stacked numpy uint8 + fixed-shape padded GT — the
+  ragged-target ``collate_fn`` (collate.py:3-9) disappears by design;
+* a bounded prefetch queue (depth = ``prefetch_factor``) keeps decode ahead
+  of the accelerator;
+* under multi-host data parallelism each process constructs the loader over
+  its own shard of rows (``process_shard``) — the DistributedSampler
+  analogue for JAX's per-host data model;
+* an optional native C++ decode backend (``custom_yolo_tpu.runtime``) is
+  used automatically when built.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from custom_yolo_tpu.data.dataset import DetectionDataset
+
+
+def _stack(samples) -> Dict[str, np.ndarray]:
+    out = {}
+    for key in samples[0]:
+        out[key] = np.stack([s[key] for s in samples])
+    return out
+
+
+class DataLoader:
+    def __init__(self, dataset: DetectionDataset, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True,
+                 num_workers: int = 8, prefetch_factor: int = 2,
+                 seed: int = 42, process_index: int = 0,
+                 process_count: int = 1, use_native: Optional[bool] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch_factor)
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+        self._native = None
+        if use_native is not False:
+            try:
+                from custom_yolo_tpu.runtime import (
+                    NativeDecoder, native_available)
+                if native_available():
+                    self._native = NativeDecoder(self.num_workers)
+            except Exception:
+                self._native = None
+            if use_native is True and self._native is None:
+                raise RuntimeError("native decoder requested but unavailable")
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle deterministically per epoch (the reference's
+        ``sampler.set_epoch``, train_model.py:220-221)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # per-host shard (DistributedSampler analogue): contiguous strides
+        idx = idx[self.process_index::self.process_count]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        nb = len(self)
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def make_batch_native(batch_idx):
+            paths = [self.dataset.image_path(i) for i in batch_idx]
+            h, w = self.dataset.input_size
+            images, sizes, _ = self._native.decode_batch(paths, h, w)
+            samples = [self.dataset.annotations(i, int(sizes[j, 0]),
+                                                int(sizes[j, 1]))
+                       for j, i in enumerate(batch_idx)]
+            batch = _stack(samples)
+            batch["image"] = images
+            return batch
+
+        def produce():
+            if self._native is not None:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    q.put(make_batch_native(batch_idx))
+                q.put(None)
+                return
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__,
+                                            batch_idx))
+                    q.put(_stack(samples))
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def get_data_loaders(config, process_index: int = 0, process_count: int = 1
+                     ) -> Tuple[DataLoader, DataLoader]:
+    """Build (train, val) loaders from a Config — same role as the reference
+    factory (``data_loader.py:11-51``)."""
+    import os
+
+    d = config.data
+    t = config.training
+    train_ds = DetectionDataset(
+        os.path.join(d.processed_dir, d.train_parquet),
+        d.train_images, input_size=tuple(config.model.input_size),
+        is_test=t.is_test, max_gt=d.max_gt_boxes, seed=config.project.seed)
+    val_ds = DetectionDataset(
+        os.path.join(d.processed_dir, d.val_parquet),
+        d.val_images, input_size=tuple(config.model.input_size),
+        is_test=t.is_test, max_gt=d.max_gt_boxes, seed=config.project.seed)
+    train = DataLoader(train_ds, t.batch_size, shuffle=True, drop_last=True,
+                       num_workers=d.num_workers,
+                       prefetch_factor=d.prefetch_factor,
+                       seed=config.project.seed,
+                       process_index=process_index,
+                       process_count=process_count)
+    val = DataLoader(val_ds, t.batch_size, shuffle=False, drop_last=False,
+                     num_workers=d.num_workers,
+                     prefetch_factor=d.prefetch_factor,
+                     seed=config.project.seed,
+                     process_index=process_index,
+                     process_count=process_count)
+    return train, val

@@ -1,0 +1,215 @@
+"""Full detector composition + user-facing convenience wrapper.
+
+Equivalent of the reference ``Model`` (``src/model/model_builder.py:13-139``):
+Backbone + Neck + Head composition, conv-BN fusion for inference (:52-58),
+checkpoint weight loading (:60-77), and a single-image ``inference`` API
+(:79-139). TPU-first: the model is a pure flax module (params live outside),
+fusion is a param-tree transform (no module surgery), and inference runs a
+jitted decode + fixed-shape batched NMS instead of the torchvision kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+from custom_yolo_tpu.core.dtypes import DTypePolicy, resolve_policy
+from custom_yolo_tpu.models.backbone import Backbone
+from custom_yolo_tpu.models.head import Head
+from custom_yolo_tpu.models.neck import Neck
+from custom_yolo_tpu.nn.blocks import BN_EPS
+from custom_yolo_tpu.ops.boxes import dist2bbox
+from custom_yolo_tpu.ops.dfl import dfl_decode
+from custom_yolo_tpu.ops.nms import batched_nms, nms_to_lists
+
+# ImageNet normalization (reference src/data/transforms.py:12-13)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+class YoloModel(nn.Module):
+    """Backbone + Neck + Head. Input NHWC float; output
+    (preds (N, M, 4*reg_max+nc), anchors (M, 2), strides (M, 1))."""
+
+    width: Tuple[int, ...]
+    depth: Tuple[int, ...]
+    csp: Tuple[bool, ...]
+    num_classes: int
+    reg_max: int = 16
+    policy: DTypePolicy = DTypePolicy()
+    bn_axis_name: Optional[str] = None
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
+                  fused=self.fused)
+        x = x.astype(self.policy.compute_dtype)
+        feats = Backbone(self.width, self.depth, self.csp, name="net", **kw)(
+            x, train)
+        feats = Neck(self.width, self.depth, self.csp, name="fpn", **kw)(
+            feats, train)
+        preds, anchors, strides = Head(
+            self.num_classes,
+            (self.width[3], self.width[4], self.width[5]),
+            reg_max=self.reg_max, name="head", **kw)(feats, train)
+        return preds, anchors, strides
+
+
+def _fold_convbn(tree: Dict[str, Any], stats: Dict[str, Any]) -> Dict[str, Any]:
+    """Recursively fold BatchNorm into the preceding conv wherever a ConvBN
+    {conv, bn} pair exists (math identical to reference ``fuse_conv``,
+    model_utils.py:72-118, generalized to grouped convs)."""
+    out = {}
+    for key, value in tree.items():
+        if (isinstance(value, dict) and "conv" in value and "bn" in value
+                and isinstance(value["conv"], dict)
+                and "kernel" in value["conv"]):
+            kernel = value["conv"]["kernel"]  # (kh, kw, cin/g, cout)
+            gamma = value["bn"]["scale"]
+            beta = value["bn"]["bias"]
+            mean = stats[key]["bn"]["mean"]
+            var = stats[key]["bn"]["var"]
+            scale = gamma / jnp.sqrt(var + BN_EPS)           # (cout,)
+            fused_kernel = kernel * scale                     # bcast over cout
+            fused_bias = beta - mean * scale
+            out[key] = {"conv": {"kernel": fused_kernel,
+                                 "bias": fused_bias}}
+        elif isinstance(value, dict):
+            out[key] = _fold_convbn(value, stats.get(key, {}))
+        else:
+            out[key] = value
+    return out
+
+
+def fuse_params(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """{"params", "batch_stats"} → {"params"} with conv+BN folded.
+
+    The fused tree must be applied with modules built with ``fused=True``
+    semantics; :class:`Detector` handles this pairing. Inference-only
+    (reference ``Model.fuse``, model_builder.py:52-58).
+    """
+    params = unfreeze(variables["params"]) if hasattr(
+        variables["params"], "unfreeze") else dict(variables["params"])
+    stats = variables.get("batch_stats", {})
+    stats = unfreeze(stats) if hasattr(stats, "unfreeze") else dict(stats)
+    return {"params": _fold_convbn(params, stats)}
+
+
+def preprocess_image(image, input_size: Tuple[int, int] = (640, 640)
+                     ) -> np.ndarray:
+    """Host-side single-image preprocessing matching the reference val
+    transform (``src/data/transforms.py:16-24``): squash-resize to
+    input_size, scale to [0,1], ImageNet-normalize. Returns NHWC (1,H,W,3)."""
+    from PIL import Image
+
+    if isinstance(image, str):
+        image = Image.open(image).convert("RGB")
+    if isinstance(image, Image.Image):
+        image = image.resize((input_size[1], input_size[0]),
+                             Image.Resampling.BILINEAR)
+        arr = np.asarray(image, dtype=np.float32) / 255.0
+    else:
+        arr = np.asarray(image, dtype=np.float32)
+        if arr.max() > 1.5:  # assume uint8 range
+            arr = arr / 255.0
+        if arr.shape[:2] != tuple(input_size):
+            arr = np.asarray(jax.image.resize(
+                jnp.asarray(arr), (*input_size, arr.shape[-1]), "bilinear"))
+    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    return arr[None]
+
+
+@functools.partial(jax.jit, static_argnames=("reg_max",))
+def decode_raw_predictions(preds: jnp.ndarray, anchors: jnp.ndarray,
+                           strides: jnp.ndarray, reg_max: int = 16):
+    """Raw head output → (boxes_xyxy (N, M, 4) px, cls_scores (N, M, nc)
+    sigmoid). The decode stage of reference ``Model.inference``
+    (model_builder.py:123-133): DFL expectation → dist2bbox → ×stride."""
+    preds = preds.astype(jnp.float32)
+    dist = preds[..., : 4 * reg_max]
+    cls_logits = preds[..., 4 * reg_max:]
+    ltrb = dfl_decode(dist, reg_max)                  # (N, M, 4)
+    boxes = dist2bbox(ltrb, anchors[None], xywh=False) * strides[None]
+    return boxes, jax.nn.sigmoid(cls_logits)
+
+
+class Detector:
+    """Stateful convenience wrapper: config + params + jitted apply.
+
+    Mirrors the surface of the reference ``Model`` (build / load_weights /
+    fuse / inference) for users migrating from it.
+    """
+
+    def __init__(self, width: Sequence[int], depth: Sequence[int],
+                 csp: Sequence[bool], num_classes: int, reg_max: int = 16,
+                 precision: str = "bfloat16",
+                 input_size: Tuple[int, int] = (640, 640)):
+        self.policy = resolve_policy(precision)
+        self.module = YoloModel(
+            width=tuple(width), depth=tuple(depth), csp=tuple(csp),
+            num_classes=num_classes, reg_max=reg_max, policy=self.policy)
+        self.num_classes = num_classes
+        self.reg_max = reg_max
+        self.input_size = tuple(input_size)
+        self.variables: Optional[Dict[str, Any]] = None
+        self._fused = False
+
+        self._apply_eval = jax.jit(
+            lambda v, x: self.module.apply(v, x, train=False))
+
+    def init(self, seed: int = 0, batch_size: int = 1) -> Dict[str, Any]:
+        x = jnp.zeros((batch_size, *self.input_size, self.module.width[0]),
+                      self.policy.compute_dtype)
+        self.variables = self.module.init(jax.random.key(seed), x,
+                                          train=False)
+        return self.variables
+
+    def load_variables(self, variables: Dict[str, Any]) -> None:
+        fused = "batch_stats" not in variables
+        self.variables = variables
+        if fused != self._fused:
+            self.module = self.module.clone(fused=fused)
+            self._apply_eval = jax.jit(
+                lambda v, x: self.module.apply(v, x, train=False))
+        self._fused = fused
+
+    def fuse(self) -> "Detector":
+        """Fold conv+BN for inference (reference model_builder.py:52-58):
+        transforms the param tree and swaps in the ``fused=True`` module so
+        each ConvBN runs conv(+bias)+act only."""
+        assert self.variables is not None
+        if self._fused:
+            return self
+        self.variables = fuse_params(self.variables)
+        self.module = self.module.clone(fused=True)
+        self._apply_eval = jax.jit(
+            lambda v, x: self.module.apply(v, x, train=False))
+        self._fused = True
+        return self
+
+    def __call__(self, x: jnp.ndarray):
+        assert self.variables is not None, "call .init() or load weights"
+        return self._apply_eval(self.variables, x)
+
+    def inference(self, image, conf_thres: float = 0.25,
+                  iou_thres: float = 0.45, max_det: int = 300):
+        """Single-image predict: path / PIL / array → list of (n, 6)
+        [x1,y1,x2,y2,conf,cls] per image (reference model_builder.py:79-139).
+        """
+        batch = jnp.asarray(preprocess_image(image, self.input_size))
+        preds, anchors, strides = self(batch)
+        boxes, scores = decode_raw_predictions(preds, anchors, strides,
+                                               self.reg_max)
+        best_scores = jnp.max(scores, axis=-1)
+        best_classes = jnp.argmax(scores, axis=-1)
+        result = batched_nms(boxes, best_scores, best_classes,
+                             conf_thres=conf_thres, iou_thres=iou_thres,
+                             max_det=max_det)
+        return nms_to_lists(result)

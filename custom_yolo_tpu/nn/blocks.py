@@ -1,0 +1,275 @@
+"""Functional NN blocks (flax.linen, NHWC).
+
+Behavioral equivalents of the reference blocks in
+``/root/reference/src/model/model_blocks.py`` (Conv :4-37, Residual :39-62,
+C3K :64-92, C3K2 :94-125, SPPF :127-156, Attention :158-198, PSABlock
+:200-224, PSA :226-252) — re-designed TPU-first:
+
+* NHWC layout (XLA:TPU's native conv layout; channels ride the 128-lane dim)
+* bf16 compute / fp32 params & BatchNorm statistics (``DTypePolicy``)
+* optional cross-replica sync-BN via ``axis_name`` (the structural fix for
+  BN-under-data-parallelism; the reference ran unsynced BN per rank)
+* conv+BN folding for inference handled by a param-tree transform
+  (:func:`custom_yolo_tpu.models.detector.fuse_params`) instead of module
+  surgery (reference ``Model.fuse``, model_builder.py:52-58).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from custom_yolo_tpu.core.dtypes import DTypePolicy
+
+# BatchNorm constants matching the reference (model_blocks.py:28):
+# torch BatchNorm2d(eps=1e-3, momentum=0.03) == flax momentum 0.97.
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.97
+
+
+class ConvBN(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + activation — the universal unit
+    (reference ``Conv``, model_blocks.py:4-37).
+
+    When ``fused=True`` the BN has been folded into the conv kernel/bias by
+    ``fuse_params`` and this module runs conv(+bias)+act only — the
+    inference-time fast path (reference ``fuse_forward``, :36-37).
+    """
+
+    features: int
+    kernel_size: int = 1
+    strides: int = 1
+    padding: int = 0
+    groups: int = 1
+    act: Optional[Callable] = jax.nn.silu  # None == identity
+    policy: DTypePolicy = DTypePolicy()
+    bn_axis_name: Optional[str] = None     # set to sync BN across replicas
+
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        k, p = self.kernel_size, self.padding
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(self.strides, self.strides),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.groups,
+            use_bias=self.fused,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name="conv",
+        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+                axis_name=self.bn_axis_name if train else None,
+                name="bn",
+            )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class Residual(nn.Module):
+    """Two-layer 3x3 bottleneck with additive skip (reference ``Residual``,
+    model_blocks.py:39-62)."""
+
+    ch: int
+    e: float = 0.5
+    policy: DTypePolicy = DTypePolicy()
+    bn_axis_name: Optional[str] = None
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mid = int(self.ch * self.e)
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
+                  fused=self.fused)
+        y = ConvBN(mid, kernel_size=3, padding=1, name="conv1", **kw)(x, train)
+        y = ConvBN(self.ch, kernel_size=3, padding=1, name="conv2", **kw)(y, train)
+        return x + y
+
+
+class C3K(nn.Module):
+    """CSP sub-block: split conv1/conv2, 2×Residual(e=1.0) on one branch,
+    concat → conv3 (reference ``C3K``, model_blocks.py:64-92)."""
+
+    out_ch: int
+    policy: DTypePolicy = DTypePolicy()
+    bn_axis_name: Optional[str] = None
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        half = self.out_ch // 2
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
+                  fused=self.fused)
+        y = ConvBN(half, name="conv1", **kw)(x, train)
+        y = Residual(half, e=1.0, name="res0", **kw)(y, train)
+        y = Residual(half, e=1.0, name="res1", **kw)(y, train)
+        z = ConvBN(half, name="conv2", **kw)(x, train)
+        out = jnp.concatenate([y, z], axis=-1)
+        return ConvBN(self.out_ch, name="conv3", **kw)(out, train)
+
+
+class C3K2(nn.Module):
+    """Main CSP stage block (reference ``C3K2``, model_blocks.py:94-125):
+    conv1 → split(2), n progressively-applied inner blocks (Residual or C3K),
+    concat all → conv2."""
+
+    out_ch: int
+    n: int
+    csp: bool
+    r: int
+    policy: DTypePolicy = DTypePolicy()
+    bn_axis_name: Optional[str] = None
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        hidden = self.out_ch // self.r
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
+                  fused=self.fused)
+        y = ConvBN(2 * hidden, name="conv1", **kw)(x, train)
+        parts = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            if self.csp:
+                blk = C3K(hidden, name=f"m{i}", **kw)
+            else:
+                blk = Residual(hidden, e=0.5, name=f"m{i}", **kw)
+            parts.append(blk(parts[-1], train))
+        out = jnp.concatenate(parts, axis=-1)
+        return ConvBN(self.out_ch, name="conv2", **kw)(out, train)
+
+
+def _maxpool_same(x: jax.Array, k: int) -> jax.Array:
+    """k×k stride-1 max-pool with SAME-style padding (k odd)."""
+    p = k // 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else
+        jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (p, p), (p, p), (0, 0)),
+    )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 1×1 reduce, 3 chained 5×5 max-pools,
+    4-way concat, 1×1 out (reference ``SPPF``, model_blocks.py:127-156)."""
+
+    out_ch: int
+    k: int = 5
+    policy: DTypePolicy = DTypePolicy()
+    bn_axis_name: Optional[str] = None
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_in = x.shape[-1]
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
+                  fused=self.fused)
+        x = ConvBN(c_in // 2, name="cv1", **kw)(x, train)
+        y1 = _maxpool_same(x, self.k)
+        y2 = _maxpool_same(y1, self.k)
+        y3 = _maxpool_same(y2, self.k)
+        out = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        return ConvBN(self.out_ch, name="cv2", **kw)(out, train)
+
+
+class Attention(nn.Module):
+    """Lightweight spatial MHSA with a depthwise positional branch
+    (reference ``Attention``, model_blocks.py:158-198).
+
+    TPU note: runs only at P5 (≤400 tokens at 640²) so the full (hw×hw)
+    attention matrix fits trivially in VMEM; softmax/matmuls map straight to
+    MXU via XLA — no flash/blockwise machinery warranted (SURVEY §5).
+    """
+
+    num_head: int
+    policy: DTypePolicy = DTypePolicy()
+    bn_axis_name: Optional[str] = None
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b, h, w, c = x.shape
+        nh = self.num_head
+        dim_head = c // nh
+        dim_key = dim_head // 2
+        scale = dim_key ** -0.5
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
+                  fused=self.fused)
+
+        qkv = ConvBN(c + dim_key * nh * 2, act=None, name="qkv", **kw)(x, train)
+        # (b, h*w, nh, 2*dim_key + dim_head) — tokens in sublanes, head dims
+        # in lanes (TPU-friendly; the reference works channel-major).
+        qkv = qkv.reshape(b, h * w, nh, 2 * dim_key + dim_head)
+        q = qkv[..., :dim_key]                      # (b, t, nh, dk)
+        k = qkv[..., dim_key:2 * dim_key]           # (b, t, nh, dk)
+        v = qkv[..., 2 * dim_key:]                  # (b, t, nh, dh)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(v.dtype).reshape(b, h, w, c)
+
+        v_spatial = v.reshape(b, h, w, c)
+        pos = ConvBN(c, kernel_size=3, padding=1, groups=c, act=None,
+                     name="pe", **kw)(v_spatial, train)
+        return ConvBN(c, act=None, name="proj", **kw)(out + pos, train)
+
+
+class PSABlock(nn.Module):
+    """Attention residual + 2-conv MLP residual (reference ``PSABlock``,
+    model_blocks.py:200-224)."""
+
+    num_head: int
+    policy: DTypePolicy = DTypePolicy()
+    bn_axis_name: Optional[str] = None
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = x.shape[-1]
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
+                  fused=self.fused)
+        x = x + Attention(self.num_head, name="attn", **kw)(x, train)
+        y = ConvBN(c * 2, name="ffn1", **kw)(x, train)
+        y = ConvBN(c, act=None, name="ffn2", **kw)(y, train)
+        return x + y
+
+
+class PSA(nn.Module):
+    """Split-channel CSP wrapper around n PSABlocks (reference ``PSA``,
+    model_blocks.py:226-252; heads = ch//128 per the reference :245)."""
+
+    n: int
+    policy: DTypePolicy = DTypePolicy()
+    bn_axis_name: Optional[str] = None
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = x.shape[-1]
+        kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
+                  fused=self.fused)
+        y = ConvBN(2 * (c // 2), name="conv1", **kw)(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        num_head = max(1, (c // 2) // 64)  # == reference ch//128 heads on c/2
+        for i in range(self.n):
+            b = PSABlock(num_head, name=f"m{i}", **kw)(b, train)
+        out = jnp.concatenate([a, b], axis=-1)
+        return ConvBN(c, name="conv2", **kw)(out, train)

@@ -1,0 +1,2 @@
+from custom_yolo_tpu.train.losses import DetectionLoss, LossConfig  # noqa: F401
+from custom_yolo_tpu.train.train_state import TrainState  # noqa: F401

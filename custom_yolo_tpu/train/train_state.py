@@ -1,0 +1,46 @@
+"""Train state pytree: params, batch_stats, optimizer state, step, PRNG,
+plateau-scheduler state — everything needed for exact resume (the reference
+checkpoints only {epoch, model, optimizer, val_loss}, losing scheduler and
+RNG state; SURVEY §5 checkpoint gaps)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from custom_yolo_tpu.train.optim import PlateauState, plateau_init
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    epoch: jnp.ndarray
+    rng: jax.Array
+    plateau: PlateauState
+
+    @classmethod
+    def create(cls, variables: Dict[str, Any], tx, rng: jax.Array
+               ) -> "TrainState":
+        params = variables["params"]
+        return cls(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            step=jnp.asarray(0, jnp.int32),
+            epoch=jnp.asarray(0, jnp.int32),
+            rng=rng,
+            plateau=plateau_init(),
+        )
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v

@@ -1,0 +1,229 @@
+"""Epoch/step training engine.
+
+Equivalent of the reference ``train()`` (``src/training/train_model.py:
+145-384``) rebuilt around the jitted train/eval steps:
+
+* per-epoch deterministic reshuffle + per-step PRNG keys (replaces
+  ``sampler.set_epoch``; the reference never seeds anything);
+* metrics are device scalars fetched once per log interval (the reference
+  syncs every step for tqdm); cross-device reduction is implicit — the
+  jitted loss is a global mean over the sharded batch, replacing
+  ``reduce_value`` allreduces (distributed_setup.py:28-63);
+* validation runs the jitted eval step + fixed-shape decode, then the
+  greedy DetectionMetrics (parity) and optionally true COCO mAP;
+* ReduceLROnPlateau on val loss, real grad clipping, early stopping
+  (dead config in the reference — SURVEY §7 quirk #6);
+* orbax checkpoint every ``save_interval`` epochs with full state.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custom_yolo_tpu.config import Config
+from custom_yolo_tpu.core import prng
+from custom_yolo_tpu.core.mesh import MeshSpec, create_mesh
+from custom_yolo_tpu.data.transforms import make_device_batch
+from custom_yolo_tpu.eval.decode import decode_predictions, decoded_to_lists
+from custom_yolo_tpu.eval.metrics import DetectionMetrics
+from custom_yolo_tpu.parallel.sharding import shard_batch, shard_train_state
+from custom_yolo_tpu.train.losses import DetectionLoss, LossConfig
+from custom_yolo_tpu.train.optim import (
+    build_optimizer, plateau_update, set_learning_rate)
+from custom_yolo_tpu.train.train_state import TrainState
+from custom_yolo_tpu.train.train_step import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, config: Config, model, variables,
+                 logger=None, metrics_logger=None,
+                 checkpoint_manager=None):
+        self.config = config
+        self.model = model
+        self.logger = logger
+        self.metrics_logger = metrics_logger
+        self.ckpt = checkpoint_manager
+
+        tcfg = config.training
+        self.tx = build_optimizer(tcfg)
+        self.loss_fn = DetectionLoss(LossConfig(
+            num_classes=config.model.num_classes,
+            reg_max=config.model.reg_max,
+            lambda_cls=tcfg.lambda_cls,
+            lambda_box=tcfg.lambda_box,
+            lambda_dfl=tcfg.lambda_dfl,
+            assigner=tcfg.assigner))
+        self.train_step = make_train_step(model, self.loss_fn, self.tx)
+        self.eval_step = make_eval_step(model, self.loss_fn)
+
+        self.mesh = None
+        mode = tcfg.sharding.mode
+        if mode != "single" and jax.device_count() > 1:
+            self.mesh = create_mesh(MeshSpec.for_mode(mode))
+
+        rng = prng.root_key(config.project.seed)
+        # defensive copy: the jitted train step donates state buffers for
+        # memory reuse; the caller's `variables` must stay valid (e.g. to
+        # build another Trainer)
+        variables = jax.tree.map(jnp.array, variables)
+        self.state = TrainState.create(variables, self.tx, rng)
+        if self.mesh is not None:
+            self.state = shard_train_state(
+                self.state, self.mesh,
+                min_weight_size=tcfg.sharding.fsdp_min_weight_size)
+        self.base_lr = tcfg.learning_rate
+        self.history: list = []
+
+    # ------------------------------------------------------------------
+    def _log(self, msg: str) -> None:
+        if self.logger is not None:
+            self.logger.info(msg)
+        else:
+            print(msg)
+
+    def _device_batch(self, host_batch, key, train: bool):
+        batch = make_device_batch(host_batch, key, train=train)
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    # ------------------------------------------------------------------
+    def fit(self, train_loader, val_loader,
+            epochs: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.config.training
+        epochs = epochs if epochs is not None else cfg.epochs
+        start_epoch = int(self.state.epoch)
+        best_val = float("inf")
+        bad_epochs = 0
+        ctx = (jax.sharding.set_mesh(self.mesh) if self.mesh is not None
+               else _nullcontext())
+        with ctx:
+            for epoch in range(start_epoch, epochs):
+                t0 = time.time()
+                train_metrics = self._train_epoch(train_loader, epoch)
+                val_metrics, det_metrics = self._validate(val_loader, epoch)
+
+                # plateau scheduler (torch ReduceLROnPlateau semantics)
+                val_loss = jnp.asarray(val_metrics["total_loss"], jnp.float32)
+                plateau = plateau_update(
+                    self.state.plateau, val_loss,
+                    patience=cfg.learning_rate_patience,
+                    factor=cfg.learning_rate_factor)
+                lr = self.base_lr * plateau.scale
+                self.state = self.state.replace(
+                    plateau=plateau,
+                    opt_state=set_learning_rate(self.state.opt_state, lr),
+                    epoch=jnp.asarray(epoch + 1, jnp.int32))
+
+                record = {
+                    **{f"train/{k}": v for k, v in train_metrics.items()},
+                    **{f"val/{k}": v for k, v in val_metrics.items()},
+                    **{f"val/{k}": v for k, v in det_metrics.items()},
+                    "lr": float(lr),
+                    "epoch_time_s": time.time() - t0,
+                }
+                self.history.append(record)
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log(record, step=epoch)
+                self._log(
+                    f"epoch {epoch}: train_loss="
+                    f"{train_metrics['total_loss']:.4f} "
+                    f"val_loss={val_metrics['total_loss']:.4f} "
+                    f"P={det_metrics.get('precision', 0):.4f} "
+                    f"R={det_metrics.get('recall', 0):.4f} "
+                    f"mAP={det_metrics.get('mAP', 0):.4f} lr={float(lr):.2e} "
+                    f"({record['epoch_time_s']:.1f}s)")
+
+                if self.ckpt is not None and \
+                        (epoch + 1) % self.config.checkpoint.save_interval == 0:
+                    self.ckpt.save(epoch, jax.device_get(self.state),
+                                   metrics={k: float(v)
+                                            for k, v in record.items()})
+
+                # early stopping (dead config in the reference)
+                if val_metrics["total_loss"] < best_val - 1e-6:
+                    best_val = val_metrics["total_loss"]
+                    bad_epochs = 0
+                else:
+                    bad_epochs += 1
+                    if bad_epochs > cfg.early_stopping_patience:
+                        self._log(f"early stopping at epoch {epoch}")
+                        break
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        return {"history": self.history, "best_val_loss": best_val}
+
+    # ------------------------------------------------------------------
+    def _train_epoch(self, loader, epoch: int) -> Dict[str, float]:
+        cfg = self.config.training
+        loader.set_epoch(epoch)
+        ekey = prng.epoch_key(prng.root_key(self.config.project.seed), epoch)
+        sums: Dict[str, float] = {}
+        count = 0
+        pending = None
+        for step, host_batch in enumerate(loader):
+            key = jax.random.fold_in(ekey, step)
+            batch = self._device_batch(host_batch, key, train=True)
+            self.state, metrics = self.train_step(self.state, batch)
+            pending = metrics
+            count += 1
+            if (step + 1) % cfg.log_interval == 0:
+                fetched = jax.device_get(metrics)
+                for k, v in fetched.items():
+                    sums[k] = sums.get(k, 0.0) + float(v) * cfg.log_interval
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log(
+                        {f"step/{k}": float(v) for k, v in fetched.items()},
+                        step=int(self.state.step))
+                pending = None
+        if pending is not None:
+            fetched = jax.device_get(pending)
+            rem = count % cfg.log_interval or cfg.log_interval
+            for k, v in fetched.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * rem
+        if count == 0:
+            return {"total_loss": float("nan")}
+        return {k: v / count for k, v in sums.items()}
+
+    # ------------------------------------------------------------------
+    def _validate(self, loader, epoch: int):
+        ekey = prng.epoch_key(prng.root_key(self.config.project.seed + 1),
+                              epoch)
+        det = DetectionMetrics(self.config.model.num_classes)
+        sums: Dict[str, float] = {}
+        count = 0
+        for step, host_batch in enumerate(loader):
+            key = jax.random.fold_in(ekey, step)
+            batch = self._device_batch(host_batch, key, train=False)
+            metrics, preds, anchors, strides = self.eval_step(self.state,
+                                                              batch)
+            for k, v in jax.device_get(metrics).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            decoded = decode_predictions(preds, anchors, strides)
+            pred_lists = decoded_to_lists(decoded)
+            gt_boxes = np.asarray(batch["gt_boxes"])
+            gt_labels = np.asarray(batch["gt_labels"])
+            gt_mask = np.asarray(batch["gt_mask"])
+            for i, plist in enumerate(pred_lists):
+                m = gt_mask[i]
+                targets = np.concatenate(
+                    [gt_boxes[i][m],
+                     gt_labels[i][m, None].astype(np.float32)], axis=1)
+                det.update(plist, targets)
+            count += 1
+        loss_metrics = ({k: v / count for k, v in sums.items()}
+                        if count else {"total_loss": float("nan")})
+        return loss_metrics, det.compute()
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,237 @@
+"""Data pipeline tests: RLE decode, streaming JSON, ETL → parquet → dataset
+→ loader round trip on a synthetic tiny-COCO fixture (the reference's
+``is_test`` smoke fixture formalized, SURVEY §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- RLE
+def _rle_encode_counts(mask_fortran_flat):
+    """Straight RLE encode (uncompressed counts) for round-trip testing."""
+    counts = []
+    prev = 0
+    run = 0
+    for v in mask_fortran_flat:
+        if v == prev:
+            run += 1
+        else:
+            counts.append(run)
+            prev = v
+            run = 1
+    counts.append(run)
+    return counts
+
+
+def _compress_counts(counts):
+    """COCO rleToString (6-bit varint, delta from i-2 for i>2)."""
+    out = []
+    for i, x in enumerate(counts):
+        if i > 2:
+            x = x - counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            if c & 0x10:
+                more = x != -1
+            else:
+                more = x != 0
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return "".join(out)
+
+
+def test_rle_decode_uncompressed(rng):
+    from custom_yolo_tpu.data.coco_rle import rle_decode
+    mask = (rng.rand(13, 9) > 0.5).astype(np.uint8)
+    counts = _rle_encode_counts(mask.T.flatten())
+    got = rle_decode({"counts": counts, "size": [13, 9]})
+    np.testing.assert_array_equal(got, mask)
+
+
+def test_rle_decode_compressed(rng):
+    from custom_yolo_tpu.data.coco_rle import rle_decode
+    mask = (rng.rand(20, 15) > 0.7).astype(np.uint8)
+    counts = _rle_encode_counts(mask.T.flatten())
+    compressed = _compress_counts(counts)
+    got = rle_decode({"counts": compressed, "size": [20, 15]})
+    np.testing.assert_array_equal(got, mask)
+
+
+def test_rle_to_polygons():
+    from custom_yolo_tpu.data.coco_rle import rle_to_polygons
+    mask = np.zeros((20, 20), np.uint8)
+    mask[5:15, 5:15] = 1
+    counts = _rle_encode_counts(mask.T.flatten())
+    polys = rle_to_polygons({"counts": counts, "size": [20, 20]})
+    assert len(polys) == 1
+    assert len(polys[0]) >= 6  # at least 3 points
+
+
+# ---------------------------------------------------------------- ETL
+@pytest.fixture(scope="module")
+def tiny_coco(tmp_path_factory):
+    """Synthetic COCO annotation JSON + images + parquet via the ETL."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("coco")
+    ann_dir = root / "annotations"
+    img_dir = root / "images"
+    ann_dir.mkdir()
+    img_dir.mkdir()
+
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(6):
+        w, h = int(rng.randint(80, 120)), int(rng.randint(80, 120))
+        name = f"img_{i:03d}.jpg"
+        Image.fromarray(
+            (rng.rand(h, w, 3) * 255).astype(np.uint8)).save(img_dir / name)
+        images.append({"id": i + 1, "file_name": name,
+                       "height": h, "width": w})
+        for a in range(int(rng.randint(1, 4))):
+            bw, bh = float(rng.randint(10, 30)), float(rng.randint(10, 30))
+            x = float(rng.randint(0, w - 31))
+            y = float(rng.randint(0, h - 31))
+            annotations.append({
+                "id": len(annotations) + 1, "image_id": i + 1,
+                "category_id": int(rng.choice([7, 11, 42])),
+                "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0,
+                "segmentation": [[x, y, x + bw, y, x + bw, y + bh]],
+            })
+    categories = [{"id": 7, "name": "zebra", "supercategory": "animal"},
+                  {"id": 11, "name": "apple", "supercategory": "food"},
+                  {"id": 42, "name": "car", "supercategory": "vehicle"}]
+    doc = {"info": {}, "images": images, "annotations": annotations,
+           "categories": categories}
+    with open(ann_dir / "instances_val2017.json", "w") as f:
+        json.dump(doc, f)
+
+    from custom_yolo_tpu.data.preprocess import DataPreprocess
+    out_dir = root / "parquet"
+    DataPreprocess.create_parquet_data(
+        annotations_dir=str(ann_dir), output_dir=str(out_dir),
+        output_folder="val", file_names=["instances_val2017.json"],
+        keys=["images", "annotations", "categories"],
+        columns=[["id", "file_name", "height", "width"],
+                 ["id", "image_id", "category_id", "bbox", "area",
+                  "iscrowd", "segmentation"],
+                 ["id", "name", "supercategory"]],
+        chunk_sizes=[100, 100, 100], is_test=False)
+    return {"root": root, "ann_dir": ann_dir, "img_dir": img_dir,
+            "parquet": out_dir / "val", "n_images": 6,
+            "annotations": annotations}
+
+
+def test_stream_json_items(tiny_coco):
+    from custom_yolo_tpu.data.preprocess import stream_json_items
+    items = list(stream_json_items(
+        str(tiny_coco["ann_dir"] / "instances_val2017.json"), "images"))
+    assert len(items) == tiny_coco["n_images"]
+    assert items[0]["file_name"] == "img_000.jpg"
+
+
+def test_etl_parquet_schema_and_category_reindex(tiny_coco):
+    import pandas as pd
+    df = pd.read_parquet(tiny_coco["parquet"])
+    assert len(df) == tiny_coco["n_images"]
+    for col in ["file_name", "height", "width", "id", "bbox",
+                "category_id", "name", "old_category_id", "segmentation"]:
+        assert col in df.columns
+    # categories re-indexed by sorted name: apple=0, car=1, zebra=2
+    name_to_new = {}
+    for _, row in df.iterrows():
+        for name, new_id in zip(row["name"], row["category_id"]):
+            name_to_new[name] = new_id
+    assert name_to_new == {"apple": 0, "car": 1, "zebra": 2}
+
+
+def test_dataset_and_loader(tiny_coco):
+    from custom_yolo_tpu.data.dataset import DetectionDataset
+    from custom_yolo_tpu.data.loader import DataLoader
+
+    ds = DetectionDataset(str(tiny_coco["parquet"]),
+                          str(tiny_coco["img_dir"]),
+                          input_size=(64, 64), max_gt=8)
+    assert len(ds) == tiny_coco["n_images"]
+    sample = ds[0]
+    assert sample["image"].shape == (64, 64, 3)
+    assert sample["image"].dtype == np.uint8
+    assert sample["gt_boxes"].shape == (8, 4)
+    k = int(sample["num_gt"])
+    assert bool(sample["gt_mask"][:k].all())
+    assert not bool(sample["gt_mask"][k:].any())
+    # boxes are center-xywh within the resized canvas
+    boxes = sample["gt_boxes"][:k]
+    assert (boxes[:, 0] >= 0).all() and (boxes[:, 0] <= 64).all()
+
+    loader = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                        num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 64, 64, 3)
+    assert batches[0]["gt_boxes"].shape == (2, 8, 4)
+
+    # deterministic reshuffle per epoch
+    loader.set_epoch(0)
+    first = [b["image_id"].tolist() for b in loader]
+    loader.set_epoch(0)
+    again = [b["image_id"].tolist() for b in loader]
+    assert first == again
+    loader.set_epoch(1)
+    other = [b["image_id"].tolist() for b in loader]
+    assert first != other
+
+
+def test_loader_process_sharding(tiny_coco):
+    from custom_yolo_tpu.data.dataset import DetectionDataset
+    from custom_yolo_tpu.data.loader import DataLoader
+    ds = DetectionDataset(str(tiny_coco["parquet"]),
+                          str(tiny_coco["img_dir"]), input_size=(64, 64),
+                          max_gt=8)
+    seen = []
+    for rank in range(2):
+        loader = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False,
+                            num_workers=1, process_index=rank,
+                            process_count=2)
+        for b in loader:
+            seen.extend(b["image_id"].tolist())
+    assert sorted(seen) == sorted(ds.image_ids.tolist())
+
+
+def test_device_transforms():
+    import jax
+    import jax.numpy as jnp
+    from custom_yolo_tpu.data.transforms import (
+        batch_preprocess, make_device_batch)
+
+    rng = np.random.RandomState(0)
+    images = (rng.rand(4, 32, 32, 3) * 255).astype(np.uint8)
+    boxes = (rng.rand(4, 8, 4) * 16 + 4).astype(np.float32)
+    key = jax.random.key(0)
+
+    # val path: deterministic normalize only
+    x, b = batch_preprocess(jnp.asarray(images.copy()), jnp.asarray(boxes),
+                            key, train=False)
+    np.testing.assert_allclose(np.asarray(b), boxes)
+    expected = (images.astype(np.float32) / 255.0
+                - np.array([0.485, 0.456, 0.406])) / np.array(
+                    [0.229, 0.224, 0.225])
+    np.testing.assert_allclose(np.asarray(x), expected, atol=1e-5)
+
+    # train path: output finite, boxes stay in canvas
+    x, b = batch_preprocess(jnp.asarray(images.copy()), jnp.asarray(boxes),
+                            key, train=True)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert np.asarray(b)[..., 0].max() <= 32.0 + 1e-4
+
+    host_batch = {"image": images, "gt_boxes": boxes,
+                  "gt_labels": np.zeros((4, 8), np.int32),
+                  "gt_mask": np.ones((4, 8), bool)}
+    db = make_device_batch(host_batch, key, train=True)
+    assert db["images"].shape == (4, 32, 32, 3)

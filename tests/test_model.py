@@ -1,0 +1,82 @@
+"""Model composition tests: shapes, param parity, fusion, jit-equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from custom_yolo_tpu.models import YoloModel, fuse_params
+from custom_yolo_tpu.ops.anchors import num_anchors
+
+
+def test_output_contract(tiny_model):
+    model, variables = tiny_model
+    x = jnp.zeros((2, 64, 64, 3))
+    preds, anchors, strides = model.apply(variables, x, train=False)
+    m = num_anchors((64, 64))
+    assert preds.shape == (2, m, 7 + 64)
+    assert anchors.shape == (m, 2)
+    assert strides.shape == (m, 1)
+
+
+def test_param_count_matches_reference_formula(tiny_model):
+    """The torch reference 'n' preset has 2,808,816 params (measured by
+    instantiating /root/reference/src/model/model_builder.py); ours must be
+    exactly 16 fewer — the reference's frozen DFL arange conv
+    (model_blocks.py:273-275) is a pure function here."""
+    model = YoloModel(width=(3, 16, 32, 64, 128, 256),
+                      depth=(1, 1, 1, 1, 1, 1), csp=(False, True),
+                      num_classes=172)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    n = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    assert n == 2_808_816 - 16
+
+
+def test_train_mode_updates_batch_stats(tiny_model):
+    model, variables = tiny_model
+    x = jnp.ones((2, 64, 64, 3))
+    _, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(mutated["batch_stats"])
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(old, new))
+    assert changed
+
+
+def test_jit_equivalence(tiny_model):
+    model, variables = tiny_model
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 64, 64, 3),
+                    jnp.float32)
+    eager, _, _ = model.apply(variables, x, train=False)
+    jitted, _, _ = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, x)
+    np.testing.assert_allclose(np.asarray(eager, np.float32),
+                               np.asarray(jitted, np.float32),
+                               atol=1e-2, rtol=1e-2)  # bf16 tolerance
+
+
+def test_fuse_params_equivalence(tiny_model):
+    """Folded conv+BN must reproduce the unfused eval forward (the reference
+    fuse-equivalence property, model_builder.py:52-58)."""
+    model, variables = tiny_model
+    # perturb batch_stats away from init (mean 0 var 1) to make it a real test
+    stats = jax.tree.map(lambda v: v + 0.05, variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 64, 64, 3),
+                    jnp.float32)
+    ref, _, _ = model.apply(variables, x, train=False)
+    fused_vars = fuse_params(variables)
+    fused_model = model.clone(fused=True)
+    got, _, _ = fused_model.apply(fused_vars, x, train=False)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)  # bf16 compute
+
+
+def test_cls_bias_prior_init(tiny_model):
+    model, variables = tiny_model
+    bias = variables["params"]["head"]["cls0_out"]["bias"]
+    expected = float(np.log(0.01 / 0.99))
+    np.testing.assert_allclose(np.asarray(bias), expected, atol=1e-5)

@@ -1,0 +1,121 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (the JAX analogue of
+the reference's Gloo-on-CPU fake cluster, SURVEY §4): dp and fsdp sharded
+training steps must run and match the single-device step numerically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from custom_yolo_tpu.config import TrainingConfig
+from custom_yolo_tpu.core.dtypes import DTypePolicy
+from custom_yolo_tpu.core.mesh import MeshSpec, create_mesh
+from custom_yolo_tpu.models import YoloModel
+from custom_yolo_tpu.parallel.sharding import (
+    batch_sharding, param_shardings, shard_batch, shard_train_state)
+from custom_yolo_tpu.train.losses import DetectionLoss, LossConfig
+from custom_yolo_tpu.train.optim import build_optimizer
+from custom_yolo_tpu.train.train_state import TrainState
+from custom_yolo_tpu.train.train_step import make_train_step
+
+NC = 7
+
+
+@pytest.fixture(scope="module")
+def fp32_model():
+    # fp32 so cross-mode numerics are comparable
+    policy = DTypePolicy(compute_dtype=jnp.float32)
+    model = YoloModel(width=(3, 8, 16, 32, 64, 64), depth=(1, 1, 1, 1, 1, 1),
+                      csp=(False, True), num_classes=NC, policy=policy)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    return model, variables
+
+
+def _batch(n=8, g=4):
+    rng = np.random.RandomState(3)
+    return {
+        "images": jnp.asarray(rng.rand(n, 64, 64, 3).astype(np.float32)),
+        "gt_boxes": jnp.asarray(
+            (rng.rand(n, g, 4) * 24 + 8).astype(np.float32)),
+        "gt_labels": jnp.asarray(rng.randint(0, NC, (n, g)).astype(np.int32)),
+        "gt_mask": jnp.asarray(np.ones((n, g), bool)),
+    }
+
+
+def _run_one_step(model, variables, mesh=None, min_weight=1 << 30):
+    # plain SGD for cross-mode equivalence: AdamW's g/(sqrt(g^2)+eps)
+    # amplifies reduction-order noise to ~lr for near-zero grads, which
+    # would make the comparison test sign-sensitive rather than wrong
+    import optax
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.sgd(learning_rate))(learning_rate=1e-3)
+    state = TrainState.create(variables, tx, jax.random.key(1))
+    loss_fn = DetectionLoss(LossConfig(num_classes=NC))
+    step = make_train_step(model, loss_fn, tx, donate=False)
+    batch = _batch()
+    if mesh is not None:
+        with jax.sharding.set_mesh(mesh):
+            state = shard_train_state(state, mesh, min_weight_size=min_weight)
+            batch = shard_batch(batch, mesh)
+            state, metrics = step(state, batch)
+            loss = float(metrics["total_loss"])
+            params = jax.device_get(state.params)
+    else:
+        state, metrics = step(state, batch)
+        loss = float(metrics["total_loss"])
+        params = jax.device_get(state.params)
+    return loss, params
+
+
+def test_eight_devices_available(devices):
+    assert len(devices) >= 8
+
+
+def test_dp_matches_single_device(fp32_model):
+    model, variables = fp32_model
+    loss_1, params_1 = _run_one_step(model, variables, mesh=None)
+    mesh = create_mesh(MeshSpec(data=8, fsdp=1))
+    loss_dp, params_dp = _run_one_step(model, variables, mesh=mesh)
+    np.testing.assert_allclose(loss_dp, loss_1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
+
+
+def test_fsdp_matches_single_device(fp32_model):
+    model, variables = fp32_model
+    loss_1, params_1 = _run_one_step(model, variables, mesh=None)
+    mesh = create_mesh(MeshSpec(data=1, fsdp=8))
+    loss_f, params_f = _run_one_step(model, variables, mesh=mesh,
+                                     min_weight=1024)
+    np.testing.assert_allclose(loss_f, loss_1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
+
+
+def test_fsdp_params_actually_sharded(fp32_model):
+    model, variables = fp32_model
+    mesh = create_mesh(MeshSpec(data=1, fsdp=8))
+    shardings = param_shardings(variables["params"], mesh,
+                                min_weight_size=1024)
+    specs = [s.spec for s in jax.tree.leaves(shardings)]
+    sharded = [s for s in specs if any(a is not None for a in s)]
+    assert len(sharded) > 0, "no parameter got an fsdp PartitionSpec"
+
+
+def test_2d_mesh_composite(fp32_model):
+    """data×fsdp hybrid (the reference's HYBRID_SHARD analogue)."""
+    model, variables = fp32_model
+    mesh = create_mesh(MeshSpec(data=2, fsdp=4))
+    loss, _ = _run_one_step(model, variables, mesh=mesh, min_weight=1024)
+    assert np.isfinite(loss)
+
+
+def test_batch_sharding_spec(fp32_model):
+    mesh = create_mesh(MeshSpec(data=4, fsdp=2))
+    sh = batch_sharding(mesh)
+    x = jax.device_put(jnp.zeros((8, 4)), sh)
+    assert len(x.addressable_shards) == 8
+    assert x.addressable_shards[0].data.shape == (1, 4)
