@@ -1,8 +1,15 @@
-"""Benchmark harness: 640×640 bf16 inference throughput on the flagship
-model, single chip.
+"""Benchmark harness: 640×640 bf16 inference throughput of the flagship
+model (the reference's active config — 'x' preset, 172 classes, ~57M
+params, 200.8 GFLOPs/img), single chip.
+
+Methodology: ITERS forwards inside ONE jitted ``lax.scan`` with the
+iteration index folded into the input (prevents hoisting/dedup), timed by a
+scalar host fetch. This measures on-device execution only — host dispatch
+through tunneled/relayed device transports would otherwise dominate or,
+worse, under-report (async dispatch returning before execution).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline for vs_baseline: the BASELINE.json north-star target of
+vs_baseline is against the BASELINE.json north-star target of
 2000 images/sec/chip (the reference publishes no numbers — BASELINE.md).
 """
 
@@ -14,11 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 NORTH_STAR_IMG_S = 2000.0
+BATCH = 32
+ITERS = 12
 
 
 def main():
     from custom_yolo_tpu.core.dtypes import resolve_policy
-    from custom_yolo_tpu.models import YoloModel
+    from custom_yolo_tpu.models import YoloModel, fuse_params
     from custom_yolo_tpu.models.presets import PRESETS
 
     preset = PRESETS["x"]
@@ -27,32 +36,35 @@ def main():
                       depth=tuple(preset["depth"]),
                       csp=tuple(preset["csp"]), num_classes=172,
                       policy=policy)
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 640, 640, 3), policy.compute_dtype), train=False)
+    # inference path: conv+BN folded
+    infer_model = model.clone(fused=True)
+    infer_vars = fuse_params(variables)
 
-    batch = 32
-    x = jnp.asarray(np.random.RandomState(0).rand(batch, 640, 640, 3),
-                    policy.compute_dtype)
-    variables = model.init(jax.random.key(0),
-                           jnp.zeros((1, 640, 640, 3),
-                                     policy.compute_dtype), train=False)
+    def bench_fn(v, x):
+        def body(acc, i):
+            xi = x + (i.astype(x.dtype) * 1e-6)
+            preds, _, _ = infer_model.apply(v, xi, train=False)
+            return acc + jnp.sum(preds.astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(ITERS))
+        return acc
 
-    @jax.jit
-    def forward(v, x):
-        preds, _, _ = model.apply(v, x, train=False)
-        return preds
+    f = jax.jit(bench_fn)
+    x0 = jnp.asarray(np.random.RandomState(0).rand(BATCH, 640, 640, 3),
+                     policy.compute_dtype)
+    float(f(infer_vars, x0))  # compile + warmup
 
-    # warmup / compile
-    jax.block_until_ready(forward(variables, x))
-
-    iters = 10
+    x1 = jnp.asarray(np.random.RandomState(1).rand(BATCH, 640, 640, 3),
+                     policy.compute_dtype)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    float(f(infer_vars, x1))  # scalar fetch == true completion
+    dt = (time.perf_counter() - t0) / ITERS
 
-    img_s = batch * iters / dt
+    img_s = BATCH / dt
     print(json.dumps({
-        "metric": "inference_throughput_640_bf16",
+        "metric": "inference_throughput_640_bf16_x",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / NORTH_STAR_IMG_S, 4),

@@ -41,10 +41,13 @@ class NMSResult(NamedTuple):
     num_valid: jnp.ndarray  # (N,) int32
 
 
-def _suppress(iou: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+def _suppress(iou: jnp.ndarray, iou_thres: float,
+              init_keep: jnp.ndarray = None) -> jnp.ndarray:
     """Exact greedy NMS keep-mask over score-sorted candidates.
 
     iou: (K, K) IoU matrix of candidates sorted by descending score.
+    init_keep: optional (K,) bool — entries starting False never suppress
+      (same semantics as the Pallas kernel's validity init).
     Returns keep: (K,) bool.
     """
     k = iou.shape[0]
@@ -56,60 +59,82 @@ def _suppress(iou: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
         sup = (row > iou_thres) & (idx > i) & keep[i]
         return keep & jnp.logical_not(sup)
 
-    return jax.lax.fori_loop(0, k, body, jnp.ones((k,), dtype=bool))
+    init = jnp.ones((k,), dtype=bool) if init_keep is None else init_keep
+    return jax.lax.fori_loop(0, k, body, init)
 
 
-def _single_image_nms(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
-                      classes: jnp.ndarray, *, conf_thres: float,
-                      iou_thres: float, top_k: int, max_det: int,
-                      agnostic: bool):
+def _gather_candidates(boxes_xyxy, scores, classes, *, conf_thres, top_k):
+    """Per image: confidence gate + top-k pool, score-sorted."""
     m = scores.shape[0]
     k = min(top_k, m)
-
     gated = jnp.where(scores > conf_thres, scores, -1.0)
     cand_scores, cand_idx = jax.lax.top_k(gated, k)
-    cand_boxes = boxes_xyxy[cand_idx]
-    cand_classes = classes[cand_idx]
-    cand_valid = cand_scores > conf_thres
+    return (boxes_xyxy[cand_idx], cand_scores, classes[cand_idx],
+            cand_scores > conf_thres)
 
-    if agnostic:
-        shifted = cand_boxes
-    else:
-        offset = cand_classes.astype(cand_boxes.dtype) * MAX_WH
-        shifted = cand_boxes + offset[:, None]
-    iou = box_iou_pairwise(shifted, shifted)
 
-    keep = _suppress(iou, iou_thres) & cand_valid
+def _select_result(cand_boxes, cand_scores, cand_classes, keep, *,
+                   conf_thres, max_det):
+    k = cand_scores.shape[-1]
     final_scores = jnp.where(keep, cand_scores, -1.0)
     out_scores, out_idx = jax.lax.top_k(final_scores, min(max_det, k))
     out_valid = out_scores > conf_thres
-    out_boxes = cand_boxes[out_idx]
-    out_classes = cand_classes[out_idx]
-    num = jnp.sum(out_valid.astype(jnp.int32))
-    out_scores = jnp.where(out_valid, out_scores, 0.0)
-    return out_boxes, out_scores, out_classes, out_valid, num
+    take = lambda a: jnp.take_along_axis(
+        a, out_idx if a.ndim == out_idx.ndim else out_idx[..., None],
+        axis=-1 if a.ndim == out_idx.ndim else -2)
+    num = jnp.sum(out_valid.astype(jnp.int32), axis=-1)
+    return (take(cand_boxes), jnp.where(out_valid, out_scores, 0.0),
+            take(cand_classes), out_valid, num)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "conf_thres", "iou_thres", "top_k", "max_det", "agnostic"))
+    "conf_thres", "iou_thres", "top_k", "max_det", "agnostic", "backend"))
 def batched_nms(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
                 classes: jnp.ndarray, *, conf_thres: float = 0.25,
                 iou_thres: float = 0.45, top_k: int = 1024,
-                max_det: int = 300, agnostic: bool = False) -> NMSResult:
+                max_det: int = 300, agnostic: bool = False,
+                backend: str = "auto") -> NMSResult:
     """Class-aware hard NMS over a batch.
 
     Args:
       boxes_xyxy: (N, M, 4) float boxes in xyxy pixel coords.
       scores: (N, M) best-class confidence per box.
       classes: (N, M) int class ids.
+      backend: "auto" (Pallas on TPU when the pool is lane-aligned, else
+        XLA), "pallas", or "xla".
     Returns fixed-shape :class:`NMSResult` (pad entries have valid=False).
     """
-    fn = functools.partial(
-        _single_image_nms, conf_thres=conf_thres, iou_thres=iou_thres,
-        top_k=top_k, max_det=max_det, agnostic=agnostic)
-    b, s, c, v, n = jax.vmap(fn)(
-        boxes_xyxy.astype(jnp.float32), scores.astype(jnp.float32),
-        classes.astype(jnp.int32))
+    boxes_xyxy = boxes_xyxy.astype(jnp.float32)
+    scores = scores.astype(jnp.float32)
+    classes = classes.astype(jnp.int32)
+    m = scores.shape[-1]
+    k = min(top_k, m)
+
+    cand_boxes, cand_scores, cand_classes, cand_valid = jax.vmap(
+        functools.partial(_gather_candidates, conf_thres=conf_thres,
+                          top_k=top_k))(boxes_xyxy, scores, classes)
+
+    if agnostic:
+        shifted = cand_boxes
+    else:
+        shifted = cand_boxes + (cand_classes.astype(jnp.float32)
+                                * MAX_WH)[..., None]
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and k % 128 == 0
+        and jax.devices()[0].platform == "tpu")
+    if use_pallas:
+        from custom_yolo_tpu.ops.pallas.nms_kernel import nms_keep_pallas
+        keep = nms_keep_pallas(shifted, cand_valid, iou_thres) & cand_valid
+    else:
+        def suppress_one(shifted_i, valid_i):
+            iou = box_iou_pairwise(shifted_i, shifted_i)
+            return _suppress(iou, iou_thres, init_keep=valid_i)
+        keep = jax.vmap(suppress_one)(shifted, cand_valid)
+
+    b, s, c, v, n = jax.vmap(functools.partial(
+        _select_result, conf_thres=conf_thres, max_det=max_det))(
+        cand_boxes, cand_scores, cand_classes, keep)
     return NMSResult(b, s, c, v, n)
 
 

@@ -33,7 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _nms_kernel(rows_ref, valid_ref, keep_ref, *, iou_thres: float):
     """rows_ref: (8, K) f32 = [x1, y1, x2, y2, area, 0, 0, 0] (sorted by
-    descending score); valid_ref: (1, K) i32; keep_ref: (1, K) i32 out."""
+    descending score); valid_ref: (1, K) i32; keep_ref: (1, K) i32 out.
+
+    Scalars of the current box are extracted with masked lane reductions
+    (``sum(where(col==i, vec, 0))``) — Mosaic cannot lower dynamic
+    lane-indexed scalar loads from VMEM, and a (1, K) reduce per scalar is
+    VPU-trivial.
+    """
     k = rows_ref.shape[1]
     x1 = rows_ref[0:1, :]
     y1 = rows_ref[1:2, :]
@@ -45,16 +51,19 @@ def _nms_kernel(rows_ref, valid_ref, keep_ref, *, iou_thres: float):
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
+    def lane(vec, i):
+        return jnp.sum(jnp.where(col == i, vec, 0.0))
+
     def body(i, _):
-        kept_i = keep_ref[0, i] > 0
+        kept_i = jnp.sum(jnp.where(col == i, keep_ref[:, :], 0)) > 0
 
         @pl.when(kept_i)
         def _():
-            bx1 = rows_ref[0, i]
-            by1 = rows_ref[1, i]
-            bx2 = rows_ref[2, i]
-            by2 = rows_ref[3, i]
-            barea = rows_ref[4, i]
+            bx1 = lane(x1, i)
+            by1 = lane(y1, i)
+            bx2 = lane(x2, i)
+            by2 = lane(y2, i)
+            barea = lane(area, i)
             iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
             ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
             inter = iw * ih

@@ -87,3 +87,27 @@ def test_nms_max_det_cap():
                     jnp.zeros((1, n), jnp.int32), conf_thres=0.1,
                     top_k=n, max_det=5)
     assert int(r.num_valid[0]) == 5
+
+
+def test_pallas_kernel_matches_xla_interpret(rng):
+    """The Pallas greedy-NMS kernel (interpret mode on CPU) must produce
+    the exact keep-set of the XLA reference sweep."""
+    import jax.numpy as jnp
+    from custom_yolo_tpu.ops.pallas.nms_kernel import nms_keep_pallas
+    from custom_yolo_tpu.ops.nms import _suppress
+
+    n, k = 2, 128
+    centers = rng.rand(n, k, 2) * 200
+    wh = rng.rand(n, k, 2) * 50 + 5
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                           axis=2).astype(np.float32)
+    valid = rng.rand(n, k) > 0.1
+    keep_p = np.asarray(nms_keep_pallas(jnp.asarray(boxes),
+                                        jnp.asarray(valid), 0.5,
+                                        interpret=True))
+    for i in range(n):
+        iou = box_iou_pairwise(jnp.asarray(boxes[i]), jnp.asarray(boxes[i]))
+        import jax.numpy as jnp2
+        keep_x = np.asarray(_suppress(iou, 0.5,
+                                      init_keep=jnp2.asarray(valid[i])))
+        np.testing.assert_array_equal(keep_p[i], keep_x)
