@@ -100,6 +100,27 @@ def batch_preprocess(images_u8: jnp.ndarray, gt_boxes: jnp.ndarray,
     return x, gt_boxes
 
 
+def letterbox_resize(image: jnp.ndarray, target: Tuple[int, int],
+                     pad_value: float = 114.0 / 255.0
+                     ) -> Tuple[jnp.ndarray, float, Tuple[int, int]]:
+    """Aspect-preserving resize + pad to `target` (the standard YOLO
+    letterbox; the reference squash-resizes instead — transforms.py:9 —
+    which distorts aspect ratio). On-device, float input in [0,1].
+
+    Returns (letterboxed (H,W,C), scale, (pad_x, pad_y)); boxes map as
+    ``b * scale + pad``.
+    """
+    h, w = image.shape[0], image.shape[1]
+    th, tw = target
+    scale = min(th / h, tw / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = jax.image.resize(image, (nh, nw, image.shape[2]), "bilinear")
+    pad_y, pad_x = (th - nh) // 2, (tw - nw) // 2
+    out = jnp.full((th, tw, image.shape[2]), pad_value, image.dtype)
+    out = jax.lax.dynamic_update_slice(out, resized, (pad_y, pad_x, 0))
+    return out, scale, (pad_x, pad_y)
+
+
 def make_device_batch(host_batch: Dict, key: jax.Array, train: bool = True
                       ) -> Dict[str, jnp.ndarray]:
     """Host uint8 batch dict → device batch dict consumed by train_step."""

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Validation / evaluation entry point (BASELINE config #1: single-process
+eval on a COCO val subset).
+
+The CLI analogue of the reference's evaluation notebook
+(``notebooks/04_evaluation_and_plots.ipynb``): load a checkpoint, run the
+val set through the jitted forward + decode, and report both the
+reference-parity greedy metrics and true COCO mAP@50:95.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="checkpoint evaluation")
+    p.add_argument("--config", default="configs/config.yaml")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (defaults to config's)")
+    p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--dataset_percent", type=float, default=1.0)
+    p.add_argument("--conf_threshold", type=float, default=0.25)
+    p.add_argument("--use_nms", action="store_true",
+                   help="apply NMS before metrics (the reference's metric "
+                        "decode skips NMS — quirk #5)")
+    p.add_argument("--coco_map", action="store_true",
+                   help="also compute true COCO mAP@50:95")
+    args = p.parse_args()
+
+    if args.device == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from custom_yolo_tpu.config import Config
+    from custom_yolo_tpu.core.dtypes import resolve_policy
+    from custom_yolo_tpu.data.dataset import DetectionDataset
+    from custom_yolo_tpu.data.loader import DataLoader
+    from custom_yolo_tpu.data.transforms import make_device_batch
+    from custom_yolo_tpu.eval.coco_map import COCOmAP
+    from custom_yolo_tpu.eval.decode import (
+        decode_predictions, decoded_to_lists)
+    from custom_yolo_tpu.eval.metrics import DetectionMetrics
+    from custom_yolo_tpu.models import YoloModel
+    from custom_yolo_tpu.train.optim import build_optimizer
+    from custom_yolo_tpu.train.train_state import TrainState
+    from custom_yolo_tpu.utils.checkpoint import CheckpointManager
+    from custom_yolo_tpu.utils.common import get_num_workers
+
+    cfg = Config.from_yaml(args.config)
+    if args.batch_size:
+        cfg.training.batch_size = args.batch_size
+
+    policy = resolve_policy(cfg.training.sharding.precision)
+    model = YoloModel(width=tuple(cfg.model.width),
+                      depth=tuple(cfg.model.depth),
+                      csp=tuple(cfg.model.csp),
+                      num_classes=cfg.model.num_classes,
+                      reg_max=cfg.model.reg_max, policy=policy)
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, *cfg.model.input_size, 3), policy.compute_dtype),
+        train=False)
+
+    ckpt_dir = args.checkpoint or cfg.checkpoint.checkpoint_dir
+    ckpt = CheckpointManager(ckpt_dir)
+    if ckpt.latest_epoch() is not None:
+        tx = build_optimizer(cfg.training)
+        template = jax.device_get(
+            TrainState.create(variables, tx, jax.random.key(0)))
+        state = ckpt.restore(template)
+        variables = state.variables
+        print(f"[INFO] restored epoch {int(state.epoch)} from {ckpt_dir}")
+    else:
+        print(f"[WARN] no checkpoint under {ckpt_dir}; evaluating init "
+              "weights")
+
+    ds = DetectionDataset(
+        os.path.join(cfg.data.processed_dir, cfg.data.val_parquet),
+        cfg.data.val_images, input_size=tuple(cfg.model.input_size),
+        is_test=cfg.training.is_test, percent=args.dataset_percent,
+        max_gt=cfg.data.max_gt_boxes, seed=cfg.project.seed)
+    loader = DataLoader(ds, cfg.training.batch_size, shuffle=False,
+                        drop_last=False, num_workers=get_num_workers(),
+                        seed=cfg.project.seed)
+    print(f"[INFO] evaluating {len(ds)} images")
+
+    forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    det = DetectionMetrics(cfg.model.num_classes)
+    cmap = COCOmAP(cfg.model.num_classes) if args.coco_map else None
+    key = jax.random.key(0)
+    t0 = time.time()
+    n_images = 0
+    for host_batch in loader:
+        batch = make_device_batch(host_batch, key, train=False)
+        preds, anchors, strides = forward(variables, batch["images"])
+        decoded = decode_predictions(
+            preds, anchors, strides, conf_threshold=args.conf_threshold,
+            use_nms=args.use_nms)
+        pred_lists = decoded_to_lists(decoded)
+        gt_boxes = np.asarray(batch["gt_boxes"])
+        gt_labels = np.asarray(batch["gt_labels"])
+        gt_mask = np.asarray(batch["gt_mask"])
+        scores = np.asarray(decoded.scores)
+        valid = np.asarray(decoded.valid)
+        for i, plist in enumerate(pred_lists):
+            m = gt_mask[i]
+            targets = np.concatenate(
+                [gt_boxes[i][m], gt_labels[i][m, None].astype(np.float32)],
+                axis=1)
+            det.update(plist, targets)
+            if cmap is not None:
+                cmap.update(plist, scores[i][valid[i]], targets)
+        n_images += gt_boxes.shape[0]
+    dt = time.time() - t0
+
+    results = det.compute()
+    print(f"[INFO] {n_images} images in {dt:.1f}s "
+          f"({n_images / max(dt, 1e-9):.1f} img/s)")
+    for k, v in results.items():
+        print(f"  {k}: {v}")
+    if cmap is not None:
+        for k, v in cmap.compute().items():
+            print(f"  {k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()

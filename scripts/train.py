@@ -112,8 +112,9 @@ def main():
         jax.random.key(cfg.project.seed),
         jnp.zeros((1, *cfg.model.input_size, 3), policy.compute_dtype),
         train=False)
-    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
-    logger.info(f"model params: {n_params:,}")
+    from custom_yolo_tpu.utils.summary import count_params, summarize
+    logger.info(f"model params: {count_params(variables):,}")
+    logger.info("\n" + summarize(variables))
 
     # data
     workers = get_num_workers()

@@ -235,3 +235,25 @@ def test_device_transforms():
                   "gt_mask": np.ones((4, 8), bool)}
     db = make_device_batch(host_batch, key, train=True)
     assert db["images"].shape == (4, 32, 32, 3)
+
+
+def test_letterbox_resize():
+    import jax.numpy as jnp
+    from custom_yolo_tpu.data.transforms import letterbox_resize
+
+    img = jnp.ones((100, 200, 3), jnp.float32)
+    out, scale, (pad_x, pad_y) = letterbox_resize(img, (64, 64))
+    assert out.shape == (64, 64, 3)
+    assert abs(scale - 0.32) < 1e-6
+    assert pad_x == 0 and pad_y == 16
+    # content rows are ~1.0, pad rows are the fill value
+    assert abs(float(out[32, 32, 0]) - 1.0) < 1e-5
+    assert abs(float(out[0, 0, 0]) - 114 / 255) < 1e-6
+
+
+def test_model_summary(tiny_model):
+    from custom_yolo_tpu.utils.summary import count_params, summarize
+    _, variables = tiny_model
+    text = summarize(variables)
+    assert "total trainable" in text
+    assert f"{count_params(variables):,}" in text
