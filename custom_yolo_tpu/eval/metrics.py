@@ -116,6 +116,21 @@ class DetectionMetrics:
         self.total_predictions += len(predictions)
         self.total_ground_truths += len(targets)
 
+    def all_reduce(self) -> "DetectionMetrics":
+        """Sum counters across processes (multi-host validation) — the
+        reduction the reference never did for detection metrics (only rank
+        0's DistributedSampler partition was reported, quirk #10)."""
+        from custom_yolo_tpu.parallel.collectives import reduce_value
+        for attr in ("total_predictions", "total_ground_truths",
+                     "true_positives", "false_positives",
+                     "false_negatives"):
+            setattr(self, attr, int(reduce_value(
+                getattr(self, attr), average=False)))
+        for attr in ("class_tp", "class_fp", "class_fn", "class_gt_count"):
+            setattr(self, attr, np.asarray(reduce_value(
+                getattr(self, attr), average=False)))
+        return self
+
     def compute(self) -> Dict[str, float]:
         precision = self.true_positives / (
             self.true_positives + self.false_positives + 1e-6)

@@ -45,16 +45,24 @@ class YoloModel(nn.Module):
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
     fused: bool = False
+    # rematerialize backbone/neck activations in the backward pass — trades
+    # FLOPs for HBM (jax.checkpoint; lets large presets train at batch
+    # sizes that would otherwise OOM)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
                   fused=self.fused)
+        backbone_cls, neck_cls = Backbone, Neck
+        if self.remat:
+            backbone_cls = nn.remat(Backbone, static_argnums=(2,))
+            neck_cls = nn.remat(Neck, static_argnums=(2,))
         x = x.astype(self.policy.compute_dtype)
-        feats = Backbone(self.width, self.depth, self.csp, name="net", **kw)(
-            x, train)
-        feats = Neck(self.width, self.depth, self.csp, name="fpn", **kw)(
-            feats, train)
+        feats = backbone_cls(self.width, self.depth, self.csp, name="net",
+                             **kw)(x, train)
+        feats = neck_cls(self.width, self.depth, self.csp, name="fpn",
+                         **kw)(feats, train)
         preds, anchors, strides = Head(
             self.num_classes,
             (self.width[3], self.width[4], self.width[5]),

@@ -218,6 +218,10 @@ class Trainer:
             count += 1
         loss_metrics = ({k: v / count for k, v in sums.items()}
                         if count else {"total_loss": float("nan")})
+        if jax.process_count() > 1:
+            det.all_reduce()
+            from custom_yolo_tpu.parallel.collectives import reduce_metrics
+            loss_metrics = reduce_metrics(loss_metrics)
         return loss_metrics, det.compute()
 
 

@@ -80,3 +80,27 @@ def test_cls_bias_prior_init(tiny_model):
     bias = variables["params"]["head"]["cls0_out"]["bias"]
     expected = float(np.log(0.01 / 0.99))
     np.testing.assert_allclose(np.asarray(bias), expected, atol=1e-5)
+
+
+def test_remat_equivalence(tiny_model):
+    """remat=True must not change forward values (it only changes what the
+    backward rematerializes) and grads must still flow."""
+    model, variables = tiny_model
+    remat_model = model.clone(remat=True)
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 64, 64, 3),
+                    jnp.float32)
+    a, _, _ = model.apply(variables, x, train=False)
+    b, _, _ = remat_model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-2)
+
+    def loss(v):
+        (preds, _, _), _ = remat_model.apply(v, x, train=True,
+                                             mutable=["batch_stats"])
+        return jnp.sum(preds.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)({"params": variables["params"],
+                        "batch_stats": variables["batch_stats"]})
+    norms = [float(jnp.linalg.norm(t)) for t in jax.tree.leaves(g["params"])]
+    assert all(np.isfinite(norms))
+    assert sum(norms) > 0
