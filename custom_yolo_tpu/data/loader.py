@@ -27,10 +27,19 @@ import numpy as np
 from custom_yolo_tpu.data.dataset import DetectionDataset
 
 
-def _stack(samples) -> Dict[str, np.ndarray]:
+def _stack(samples, pad_to: int = 1) -> Dict[str, np.ndarray]:
+    n = len(samples)
+    pad = (-n) % pad_to
     out = {}
     for key in samples[0]:
-        out[key] = np.stack([s[key] for s in samples])
+        arr = np.stack([s[key] for s in samples])
+        if pad:
+            rep = arr[np.arange(pad) % n]  # cycle when pad > n
+            arr = np.concatenate([arr, rep], axis=0)
+        out[key] = arr
+    sample_pad = np.zeros(n + pad, bool)
+    sample_pad[n:] = True
+    out["sample_pad"] = sample_pad
     return out
 
 
@@ -39,11 +48,17 @@ class DataLoader:
                  shuffle: bool = True, drop_last: bool = True,
                  num_workers: int = 8, prefetch_factor: int = 2,
                  seed: int = 42, process_index: int = 0,
-                 process_count: int = 1, use_native: Optional[bool] = None):
+                 process_count: int = 1, use_native: Optional[bool] = None,
+                 pad_to_multiple: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # pad ragged final batches (drop_last=False) up to a multiple of
+        # this by repeating leading samples; repeats are flagged in the
+        # batch's "sample_pad" array so eval skips them. Needed when the
+        # batch is sharded over a device mesh (global batch must divide).
+        self.pad_to_multiple = max(1, pad_to_multiple)
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch_factor)
         self.seed = seed
@@ -99,7 +114,12 @@ class DataLoader:
             samples = [self.dataset.annotations(i, int(sizes[j, 0]),
                                                 int(sizes[j, 1]))
                        for j, i in enumerate(batch_idx)]
-            batch = _stack(samples)
+            batch = _stack(samples, self.pad_to_multiple)
+            n = len(batch_idx)
+            pad = (-n) % self.pad_to_multiple
+            if pad:
+                images = np.concatenate(
+                    [images, images[np.arange(pad) % n]], axis=0)
             batch["image"] = images
             return batch
 
@@ -117,7 +137,7 @@ class DataLoader:
                         return
                     samples = list(pool.map(self.dataset.__getitem__,
                                             batch_idx))
-                    q.put(_stack(samples))
+                    q.put(_stack(samples, self.pad_to_multiple))
             q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)

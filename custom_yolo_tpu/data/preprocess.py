@@ -24,7 +24,6 @@ import json
 import os
 from typing import Any, Dict, Iterator, List, Optional
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq

@@ -8,7 +8,7 @@ strides 8/16/32. NHWC, bf16 compute.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 from flax import linen as nn

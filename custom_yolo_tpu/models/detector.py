@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from custom_yolo_tpu.core.dtypes import DTypePolicy, resolve_policy
 from custom_yolo_tpu.models.backbone import Backbone

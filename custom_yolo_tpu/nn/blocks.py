@@ -16,7 +16,7 @@ C3K :64-92, C3K2 :94-125, SPPF :127-156, Attention :158-198, PSABlock
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from custom_yolo_tpu.ops.boxes import box_iou_pairwise, xywh2xyxy
+from custom_yolo_tpu.ops.boxes import box_iou_pairwise
 
 BIG = 1e9
 

@@ -10,9 +10,8 @@ reference loses scheduler state across resume, SURVEY §5).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -10,8 +10,7 @@ program is the DDP/FSDP replacement: XLA inserts the gradient collectives
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -80,6 +80,18 @@ class Trainer:
         self.history: list = []
 
     # ------------------------------------------------------------------
+    def load_state(self, state) -> None:
+        """Install a (restored) train state, re-sharding it over the mesh
+        (orbax restore yields host/default-placed arrays)."""
+        if self.mesh is not None:
+            with jax.sharding.set_mesh(self.mesh):
+                state = shard_train_state(
+                    state, self.mesh,
+                    min_weight_size=self.config.training.sharding
+                    .fsdp_min_weight_size)
+        self.state = state
+
+    # ------------------------------------------------------------------
     def _log(self, msg: str) -> None:
         if self.logger is not None:
             self.logger.info(msg)
@@ -206,10 +218,14 @@ class Trainer:
                 sums[k] = sums.get(k, 0.0) + float(v)
             decoded = decode_predictions(preds, anchors, strides)
             pred_lists = decoded_to_lists(decoded)
-            gt_boxes = np.asarray(batch["gt_boxes"])
-            gt_labels = np.asarray(batch["gt_labels"])
-            gt_mask = np.asarray(batch["gt_mask"])
+            gt_boxes = host_batch["gt_boxes"]
+            gt_labels = host_batch["gt_labels"]
+            gt_mask = host_batch["gt_mask"]
+            sample_pad = host_batch.get(
+                "sample_pad", np.zeros(gt_boxes.shape[0], bool))
             for i, plist in enumerate(pred_lists):
+                if sample_pad[i]:
+                    continue  # mesh-divisibility padding, not a real image
                 m = gt_mask[i]
                 targets = np.concatenate(
                     [gt_boxes[i][m],

@@ -128,14 +128,24 @@ def main():
         cfg.data.val_images, input_size=tuple(cfg.model.input_size),
         is_test=cfg.training.is_test, percent=args.dataset_percent,
         max_gt=cfg.data.max_gt_boxes, seed=cfg.project.seed)
+    # batch_size is per-device (the reference's per-process semantics under
+    # torchrun); the host loader must deliver its share of the global batch,
+    # and sharded batches must divide the mesh
+    n_devices = jax.device_count() if mode != "single" else 1
+    global_batch = cfg.training.batch_size * n_devices
+    local_batch = max(1, global_batch // jax.process_count())
+    logger.info(f"batch: {cfg.training.batch_size}/device × {n_devices} "
+                f"devices = {global_batch} global "
+                f"({local_batch}/process)")
     kwargs = dict(num_workers=workers,
                   prefetch_factor=cfg.data.prefetch_factor,
                   seed=cfg.project.seed,
                   process_index=jax.process_index(),
-                  process_count=jax.process_count())
-    train_loader = DataLoader(train_ds, cfg.training.batch_size,
+                  process_count=jax.process_count(),
+                  pad_to_multiple=n_devices)
+    train_loader = DataLoader(train_ds, local_batch,
                               shuffle=True, drop_last=True, **kwargs)
-    val_loader = DataLoader(val_ds, cfg.training.batch_size, shuffle=False,
+    val_loader = DataLoader(val_ds, local_batch, shuffle=False,
                             drop_last=False, **kwargs)
     logger.info(f"train: {len(train_ds)} images, val: {len(val_ds)} images")
 
@@ -159,7 +169,7 @@ def main():
                       checkpoint_manager=ckpt)
     if args.load_from_checkpoint:
         template = jax.device_get(trainer.state)
-        trainer.state = ckpt.restore(template)
+        trainer.load_state(ckpt.restore(template))
         logger.info(f"resumed from epoch {int(trainer.state.epoch)}")
 
     try:

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from custom_yolo_tpu.models import YoloModel, fuse_params
 from custom_yolo_tpu.ops.anchors import num_anchors

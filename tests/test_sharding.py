@@ -7,14 +7,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from custom_yolo_tpu.config import TrainingConfig
 from custom_yolo_tpu.core.dtypes import DTypePolicy
 from custom_yolo_tpu.core.mesh import MeshSpec, create_mesh
 from custom_yolo_tpu.models import YoloModel
 from custom_yolo_tpu.parallel.sharding import (
     batch_sharding, param_shardings, shard_batch, shard_train_state)
 from custom_yolo_tpu.train.losses import DetectionLoss, LossConfig
-from custom_yolo_tpu.train.optim import build_optimizer
 from custom_yolo_tpu.train.train_state import TrainState
 from custom_yolo_tpu.train.train_step import make_train_step
 
