@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 NORTH_STAR_IMG_S = 2000.0
-BATCH = 32
+BATCH = 64
 ITERS = 12
 
 

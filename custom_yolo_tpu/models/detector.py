@@ -168,6 +168,7 @@ class Detector:
         self.input_size = tuple(input_size)
         self.variables: Optional[Dict[str, Any]] = None
         self._fused = False
+        self._serve_cache: Dict = {}
 
         self._apply_eval = jax.jit(
             lambda v, x: self.module.apply(v, x, train=False))
@@ -186,6 +187,7 @@ class Detector:
             self.module = self.module.clone(fused=fused)
             self._apply_eval = jax.jit(
                 lambda v, x: self.module.apply(v, x, train=False))
+            self._serve_cache.clear()
         self._fused = fused
 
     def fuse(self) -> "Detector":
@@ -199,6 +201,7 @@ class Detector:
         self.module = self.module.clone(fused=True)
         self._apply_eval = jax.jit(
             lambda v, x: self.module.apply(v, x, train=False))
+        self._serve_cache.clear()
         self._fused = True
         return self
 
@@ -212,12 +215,34 @@ class Detector:
         [x1,y1,x2,y2,conf,cls] per image (reference model_builder.py:79-139).
         """
         batch = jnp.asarray(preprocess_image(image, self.input_size))
-        preds, anchors, strides = self(batch)
-        boxes, scores = decode_raw_predictions(preds, anchors, strides,
-                                               self.reg_max)
-        best_scores = jnp.max(scores, axis=-1)
-        best_classes = jnp.argmax(scores, axis=-1)
-        result = batched_nms(boxes, best_scores, best_classes,
-                             conf_thres=conf_thres, iou_thres=iou_thres,
-                             max_det=max_det)
+        result = self.serve(batch, conf_thres=conf_thres,
+                            iou_thres=iou_thres, max_det=max_det)
         return nms_to_lists(result)
+
+    def serve(self, images: jnp.ndarray, conf_thres: float = 0.25,
+              iou_thres: float = 0.45, max_det: int = 300):
+        """Batched serving path: preprocessed NHWC batch → fixed-shape
+        :class:`~custom_yolo_tpu.ops.nms.NMSResult`. Forward + DFL decode +
+        class argmax + batched NMS compile into ONE XLA program (no host
+        round-trips between stages — the reference hops through python
+        between forward, decode, and torchvision NMS)."""
+        assert self.variables is not None, "call .init() or load weights"
+        key = (float(conf_thres), float(iou_thres), int(max_det))
+        fn = self._serve_cache.get(key)
+        if fn is None:
+            module, reg_max = self.module, self.reg_max
+
+            @jax.jit
+            def serve_fn(variables, images):
+                preds, anchors, strides = module.apply(variables, images,
+                                                       train=False)
+                boxes, scores = decode_raw_predictions(preds, anchors,
+                                                       strides, reg_max)
+                best_scores = jnp.max(scores, axis=-1)
+                best_classes = jnp.argmax(scores, axis=-1)
+                return batched_nms(boxes, best_scores, best_classes,
+                                   conf_thres=conf_thres,
+                                   iou_thres=iou_thres, max_det=max_det)
+
+            fn = self._serve_cache[key] = serve_fn
+        return fn(self.variables, images)

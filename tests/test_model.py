@@ -103,3 +103,21 @@ def test_remat_equivalence(tiny_model):
     norms = [float(jnp.linalg.norm(t)) for t in jax.tree.leaves(g["params"])]
     assert all(np.isfinite(norms))
     assert sum(norms) > 0
+
+
+def test_detector_serve_batch():
+    """The jitted end-to-end serving path (forward→decode→NMS in one
+    program) must agree with the composable inference path."""
+    from custom_yolo_tpu.models import Detector
+    det = Detector([3, 8, 16, 32, 64, 64], [1, 1, 1, 1, 1, 1],
+                   [False, True], num_classes=7, precision="float32",
+                   input_size=(64, 64))
+    det.init(seed=0)
+    imgs = jnp.asarray(np.random.RandomState(5).rand(2, 64, 64, 3),
+                       jnp.float32)
+    r = det.serve(imgs, conf_thres=0.01, max_det=16)
+    assert r.boxes.shape == (2, 16, 4)
+    assert r.valid.shape == (2, 16)
+    # second call hits the cache (same compiled program)
+    r2 = det.serve(imgs, conf_thres=0.01, max_det=16)
+    np.testing.assert_allclose(np.asarray(r.scores), np.asarray(r2.scores))
