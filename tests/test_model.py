@@ -121,3 +121,24 @@ def test_detector_serve_batch():
     # second call hits the cache (same compiled program)
     r2 = det.serve(imgs, conf_thres=0.01, max_det=16)
     np.testing.assert_allclose(np.asarray(r.scores), np.asarray(r2.scores))
+
+
+def test_detector_save_load_weights(tmp_path):
+    from custom_yolo_tpu.models import Detector
+    det = Detector([3, 8, 16, 32, 64, 64], [1, 1, 1, 1, 1, 1],
+                   [False, True], num_classes=7, precision="float32",
+                   input_size=(64, 64))
+    det.init(seed=0)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3), jnp.float32)
+    ref, _, _ = det(x)
+
+    path = str(tmp_path / "weights")
+    det.save_weights(path)
+
+    det2 = Detector([3, 8, 16, 32, 64, 64], [1, 1, 1, 1, 1, 1],
+                    [False, True], num_classes=7, precision="float32",
+                    input_size=(64, 64))
+    det2.init(seed=99)  # different init, then overwritten by load
+    det2.load_weights(path)
+    got, _, _ = det2(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
