@@ -257,3 +257,53 @@ def test_model_summary(tiny_model):
     text = summarize(variables)
     assert "total trainable" in text
     assert f"{count_params(variables):,}" in text
+
+
+def test_etl_two_file_merge(tmp_path):
+    """instances+stuff two-file ETL: categories from BOTH files re-index
+    together by sorted name (reference merges instances_*.json +
+    stuff_*.json, data_preprocessor.py:274-298)."""
+    import json
+
+    import pandas as pd
+    from custom_yolo_tpu.data.preprocess import DataPreprocess
+
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    images = [{"id": 1, "file_name": "a.jpg", "height": 50, "width": 50}]
+    inst = {"images": images,
+            "annotations": [{"id": 1, "image_id": 1, "category_id": 5,
+                             "bbox": [1, 1, 10, 10], "area": 100.0,
+                             "iscrowd": 0, "segmentation": [[1, 1, 2, 2,
+                                                             3, 3]]}],
+            "categories": [{"id": 5, "name": "zebra",
+                            "supercategory": "animal"}]}
+    stuff = {"images": images,
+             "annotations": [{"id": 2, "image_id": 1, "category_id": 93,
+                              "bbox": [5, 5, 20, 20], "area": 400.0,
+                              "iscrowd": 0, "segmentation": [[5, 5, 6, 6,
+                                                              7, 7]]}],
+             "categories": [{"id": 93, "name": "grass",
+                             "supercategory": "stuff"}]}
+    (ann / "instances_val2017.json").write_text(json.dumps(inst))
+    (ann / "stuff_val2017.json").write_text(json.dumps(stuff))
+
+    DataPreprocess.create_parquet_data(
+        annotations_dir=str(ann), output_dir=str(tmp_path / "out"),
+        output_folder="val",
+        file_names=["instances_val2017.json", "stuff_val2017.json"],
+        keys=["images", "annotations", "categories"],
+        columns=[["id", "file_name", "height", "width"],
+                 ["id", "image_id", "category_id", "bbox", "area",
+                  "iscrowd", "segmentation"],
+                 ["id", "name", "supercategory"]],
+        chunk_sizes=[100, 100, 100], is_test=False)
+
+    df = pd.read_parquet(tmp_path / "out" / "val")
+    assert len(df) == 1
+    row = df.iloc[0]
+    got = dict(zip(row["name"], row["category_id"]))
+    # sorted names: grass=0, zebra=1 (across both files)
+    assert got == {"grass": 0, "zebra": 1}
+    assert sorted(row["old_category_id"]) == [5, 93]
+    assert len(row["bbox"]) == 2
