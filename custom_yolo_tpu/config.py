@@ -97,6 +97,7 @@ class TrainingConfig:
     lambda_box: float = 1.5
     lambda_dfl: float = 1.5
     assigner: str = "nearest"         # "nearest" (reference parity) | "tal"
+    accumulate_steps: int = 1         # gradient accumulation microbatches
     log_interval: int = 10
     sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
 

@@ -21,7 +21,8 @@ from custom_yolo_tpu.train.train_state import TrainState
 
 
 def make_train_step(module, loss_fn: DetectionLoss, tx,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    accumulate_steps: int = 1) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: dict with
@@ -29,6 +30,12 @@ def make_train_step(module, loss_fn: DetectionLoss, tx,
       gt_boxes  (N, G, 4) center-xywh px
       gt_labels (N, G) int32
       gt_mask   (N, G) bool
+
+    When ``accumulate_steps > 1`` the batch is split into that many
+    microbatches scanned on device; gradients are averaged before ONE
+    optimizer update (gradient accumulation — absent from the reference,
+    SURVEY §2.2; lets the effective batch exceed HBM). N must be divisible
+    by accumulate_steps; BN statistics update per microbatch.
     """
 
     def loss_of(params, batch_stats, batch):
@@ -40,10 +47,36 @@ def make_train_step(module, loss_fn: DetectionLoss, tx,
                                 batch["gt_mask"])
         return loss, (metrics, mutated["batch_stats"])
 
+    grad_fn = jax.value_and_grad(loss_of, has_aux=True)
+
+    def compute_grads(params, batch_stats, batch):
+        if accumulate_steps <= 1:
+            (_, (metrics, new_stats)), grads = grad_fn(params, batch_stats,
+                                                       batch)
+            return grads, metrics, new_stats
+
+        micro = jax.tree.map(
+            lambda x: x.reshape(accumulate_steps,
+                                x.shape[0] // accumulate_steps,
+                                *x.shape[1:]), batch)
+
+        def body(carry, microbatch):
+            acc_grads, stats = carry
+            (_, (metrics, new_stats)), grads = grad_fn(params, stats,
+                                                       microbatch)
+            acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+            return (acc_grads, new_stats), metrics
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        (grads, new_stats), metrics_seq = jax.lax.scan(
+            body, (zero, batch_stats), micro)
+        grads = jax.tree.map(lambda g: g / accumulate_steps, grads)
+        metrics = jax.tree.map(lambda m: jnp.mean(m), metrics_seq)
+        return grads, metrics, new_stats
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        grad_fn = jax.value_and_grad(loss_of, has_aux=True)
-        (loss, (metrics, new_stats)), grads = grad_fn(
+        grads, metrics, new_stats = compute_grads(
             state.params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -58,7 +58,9 @@ class Trainer:
             lambda_box=tcfg.lambda_box,
             lambda_dfl=tcfg.lambda_dfl,
             assigner=tcfg.assigner))
-        self.train_step = make_train_step(model, self.loss_fn, self.tx)
+        self.train_step = make_train_step(
+            model, self.loss_fn, self.tx,
+            accumulate_steps=tcfg.accumulate_steps)
         self.eval_step = make_eval_step(model, self.loss_fn)
 
         self.mesh = None
