@@ -124,8 +124,10 @@ def batched_nms(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
         backend == "auto" and k % 128 == 0
         and jax.devices()[0].platform == "tpu")
     if use_pallas:
-        from custom_yolo_tpu.ops.pallas.nms_kernel import nms_keep_pallas
-        keep = nms_keep_pallas(shifted, cand_valid, iou_thres) & cand_valid
+        from custom_yolo_tpu.ops.pallas.nms_kernel import (
+            nms_keep_pallas_batched)
+        keep = nms_keep_pallas_batched(shifted, cand_valid,
+                                       iou_thres) & cand_valid
     else:
         def suppress_one(shifted_i, valid_i):
             iou = box_iou_pairwise(shifted_i, shifted_i)

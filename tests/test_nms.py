@@ -102,9 +102,15 @@ def test_pallas_kernel_matches_xla_interpret(rng):
     boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
                            axis=2).astype(np.float32)
     valid = rng.rand(n, k) > 0.1
+    from custom_yolo_tpu.ops.pallas.nms_kernel import (
+        nms_keep_pallas_batched)
     keep_p = np.asarray(nms_keep_pallas(jnp.asarray(boxes),
                                         jnp.asarray(valid), 0.5,
                                         interpret=True))
+    keep_b = np.asarray(nms_keep_pallas_batched(jnp.asarray(boxes),
+                                                jnp.asarray(valid), 0.5,
+                                                interpret=True))
+    np.testing.assert_array_equal(keep_p, keep_b)
     for i in range(n):
         iou = box_iou_pairwise(jnp.asarray(boxes[i]), jnp.asarray(boxes[i]))
         import jax.numpy as jnp2
