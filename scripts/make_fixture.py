@@ -35,6 +35,14 @@ def main():
     categories = [{"id": 100 + i, "name": name, "supercategory": "synthetic"}
                   for i, name in enumerate(class_names)]
 
+    # deterministic class→color map: the task is LEARNABLE across splits
+    # (a model that generalizes gets val mAP > 0, not just memorization)
+    import colorsys
+    class_colors = [
+        tuple(int(c * 255) for c in colorsys.hsv_to_rgb(
+            i / max(args.classes, 1), 0.9, 0.9))
+        for i in range(args.classes)]
+
     for split in ("train", "val"):
         img_dir = os.path.join(args.root, "raw", "images", split)
         os.makedirs(img_dir, exist_ok=True)
@@ -53,7 +61,10 @@ def main():
                 x = int(rng.randint(0, max(1, w - bw)))
                 y = int(rng.randint(0, max(1, h - bh)))
                 cid = int(rng.randint(0, args.classes))
-                img[y:y + bh, x:x + bw] = (rng.rand(3) * 255).astype(np.uint8)
+                jitter = rng.randint(-15, 16, 3)
+                color = np.clip(np.asarray(class_colors[cid]) + jitter,
+                                0, 255).astype(np.uint8)
+                img[y:y + bh, x:x + bw] = color
                 anns.append({
                     "id": len(annotations) + len(anns) + 1,
                     "image_id": i + 1, "category_id": 100 + cid,
