@@ -5,8 +5,7 @@ Not present in the reference — its "mAP" is mean per-class precision
 implements the standard COCO protocol in numpy, needed for the north-star
 parity metric (BASELINE.json): score-ranked greedy matching per class at
 IoU thresholds 0.50:0.05:0.95, 101-point interpolated AP, mean over classes
-present in the ground truth. Area-range breakdowns (small/medium/large) and
-AP50/AP75 are reported too.
+present in the ground truth. AP50/AP75 are reported too.
 """
 
 from __future__ import annotations
@@ -19,12 +18,6 @@ from custom_yolo_tpu.eval.metrics import box_iou_batch
 
 IOU_THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)   # 10 thresholds
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
-AREA_RANGES = {
-    "all": (0.0, float("inf")),
-    "small": (0.0, 32.0 ** 2),
-    "medium": (32.0 ** 2, 96.0 ** 2),
-    "large": (96.0 ** 2, float("inf")),
-}
 
 
 class COCOmAP:

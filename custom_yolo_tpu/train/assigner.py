@@ -22,8 +22,6 @@ import jax.numpy as jnp
 
 from custom_yolo_tpu.ops.boxes import box_iou_pairwise
 
-BIG = 1e9
-
 
 class NearestAssignment(NamedTuple):
     """One anchor index per (padded) GT."""
