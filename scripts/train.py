@@ -148,6 +148,11 @@ def main():
     val_loader = DataLoader(val_ds, local_batch, shuffle=False,
                             drop_last=False, **kwargs)
     logger.info(f"train: {len(train_ds)} images, val: {len(val_ds)} images")
+    if len(train_loader) == 0:
+        raise SystemExit(
+            f"train dataset ({len(train_ds)} images) yields zero batches at "
+            f"local batch {local_batch} (batch_size×devices/processes) — "
+            "reduce --batch_size or add data")
 
     ckpt = None
     metrics_logger = None
