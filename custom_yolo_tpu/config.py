@@ -98,6 +98,7 @@ class TrainingConfig:
     lambda_dfl: float = 1.5
     assigner: str = "nearest"         # "nearest" (reference parity) | "tal"
     accumulate_steps: int = 1         # gradient accumulation microbatches
+    remat: bool = False               # rematerialize activations (HBM saver)
     log_interval: int = 10
     sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
 

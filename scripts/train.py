@@ -106,7 +106,8 @@ def main():
                       depth=tuple(cfg.model.depth),
                       csp=tuple(cfg.model.csp),
                       num_classes=cfg.model.num_classes,
-                      reg_max=cfg.model.reg_max, policy=policy)
+                      reg_max=cfg.model.reg_max, policy=policy,
+                      remat=cfg.training.remat)
     import jax.numpy as jnp
     variables = model.init(
         jax.random.key(cfg.project.seed),
