@@ -218,6 +218,16 @@ class Config:
                 f"unknown sharding mode {self.training.sharding.mode}")
         if self.training.assigner not in ("nearest", "tal"):
             raise ValueError(f"unknown assigner {self.training.assigner}")
+        if self.checkpoint.best_model_mode not in ("min", "max"):
+            raise ValueError(
+                f"best_model_mode must be min|max, got "
+                f"{self.checkpoint.best_model_mode}")
+        # project-level switches override the detailed knobs (these keys are
+        # decorative in the reference — SURVEY §5; here they act):
+        if not self.project.distributed:
+            self.training.sharding.mode = "single"
+        if not self.project.mixed_precision:
+            self.training.sharding.precision = "float32"
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

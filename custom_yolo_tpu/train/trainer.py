@@ -110,9 +110,17 @@ class Trainer:
     def fit(self, train_loader, val_loader,
             epochs: Optional[int] = None) -> Dict[str, Any]:
         cfg = self.config.training
+        ckpt_cfg = self.config.checkpoint
         epochs = epochs if epochs is not None else cfg.epochs
         start_epoch = int(self.state.epoch)
+        # best-model tracking per checkpoint.best_model_metric/mode
+        # (decorative keys in the reference — live here). "val/loss" (the
+        # reference's name) aliases our "val/total_loss".
+        metric_key = {"val/loss": "val/total_loss"}.get(
+            ckpt_cfg.best_model_metric, ckpt_cfg.best_model_metric)
+        sign = 1.0 if ckpt_cfg.best_model_mode == "min" else -1.0
         best_val = float("inf")
+        best_epoch = None
         bad_epochs = 0
         ctx = (jax.sharding.set_mesh(self.mesh) if self.mesh is not None
                else _nullcontext())
@@ -159,9 +167,13 @@ class Trainer:
                                    metrics={k: float(v)
                                             for k, v in record.items()})
 
-                # early stopping (dead config in the reference)
-                if val_metrics["total_loss"] < best_val - 1e-6:
-                    best_val = val_metrics["total_loss"]
+                # best tracking + early stopping (dead config in the
+                # reference)
+                tracked = sign * float(record.get(
+                    metric_key, val_metrics["total_loss"]))
+                if tracked < best_val - 1e-6:
+                    best_val = tracked
+                    best_epoch = epoch
                     bad_epochs = 0
                 else:
                     bad_epochs += 1
@@ -170,7 +182,11 @@ class Trainer:
                         break
         if self.ckpt is not None:
             self.ckpt.wait()
-        return {"history": self.history, "best_val_loss": best_val}
+        return {"history": self.history,
+                "best_val_loss": sign * best_val,
+                "best_metric": sign * best_val,
+                "best_metric_name": metric_key,
+                "best_epoch": best_epoch}
 
     # ------------------------------------------------------------------
     def _train_epoch(self, loader, epoch: int) -> Dict[str, float]:

@@ -173,7 +173,12 @@ def main():
     trainer = Trainer(cfg, model, variables, logger=logger,
                       metrics_logger=metrics_logger,
                       checkpoint_manager=ckpt)
-    if args.load_from_checkpoint:
+    # explicit --load_from_checkpoint, or auto-resume when the config's
+    # checkpoint.resume_training is set and a checkpoint exists (this key
+    # is decorative in the reference — live here)
+    auto_resume = (cfg.checkpoint.resume_training and ckpt is not None
+                   and ckpt.latest_epoch() is not None)
+    if args.load_from_checkpoint or auto_resume:
         template = jax.device_get(trainer.state)
         trainer.load_state(ckpt.restore(template))
         logger.info(f"resumed from epoch {int(trainer.state.epoch)}")

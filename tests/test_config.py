@@ -90,3 +90,19 @@ def test_defaults_complete():
     assert cfg.model.num_classes == 172
     assert cfg.training.sharding.mode == "dp"
     assert cfg.data.max_gt_boxes == 128
+
+
+def test_project_switches_act():
+    """project.distributed / project.mixed_precision override the detailed
+    sharding knobs (they were decorative in the reference)."""
+    raw = {"project": {"distributed": False, "mixed_precision": False},
+           "training": {"sharding": {"mode": "dp",
+                                     "precision": "bfloat16"}}}
+    cfg = Config.from_dict(raw)
+    assert cfg.training.sharding.mode == "single"
+    assert cfg.training.sharding.precision == "float32"
+
+
+def test_best_model_mode_validated():
+    with pytest.raises(ValueError):
+        Config.from_dict({"checkpoint": {"best_model_mode": "median"}})
