@@ -14,11 +14,18 @@ vs_baseline is against the BASELINE.json north-star target of
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: repeat runs skip the multi-minute first compile
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_TEST_CACHE",
+                                 "/tmp/custom_yolo_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NORTH_STAR_IMG_S = 2000.0
 BATCH = 64

@@ -117,3 +117,31 @@ def test_batch_sharding_spec(fp32_model):
     x = jax.device_put(jnp.zeros((8, 4)), sh)
     assert len(x.addressable_shards) == 8
     assert x.addressable_shards[0].data.shape == (1, 4)
+
+
+def test_fsdp_shards_optimizer_state(fp32_model):
+    """ZeRO semantics: adam moments must follow their parameter's sharding,
+    not stay replicated (that's where the memory win is)."""
+    import optax
+    model, variables = fp32_model
+    mesh = create_mesh(MeshSpec(data=1, fsdp=8))
+    tx = optax.adamw(1e-3)
+    state = TrainState.create(variables, tx, jax.random.key(0))
+    with jax.sharding.set_mesh(mesh):
+        sharded = shard_train_state(state, mesh, min_weight_size=1024)
+    big_param_sharded = 0
+    moments_sharded = 0
+    param_specs = {id(None)}
+    for leaf in jax.tree.leaves(
+            param_shardings(variables["params"], mesh,
+                            min_weight_size=1024)):
+        if any(a is not None for a in leaf.spec):
+            big_param_sharded += 1
+    for leaf in jax.tree.leaves(sharded.opt_state):
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None and hasattr(sh, "spec") and any(
+                a is not None for a in sh.spec):
+            moments_sharded += 1
+    assert big_param_sharded > 0
+    # mu and nu each mirror the params → at least 2x the sharded params
+    assert moments_sharded >= 2 * big_param_sharded
