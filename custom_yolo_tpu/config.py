@@ -51,11 +51,17 @@ class DataConfig:
     val_images: str = "./dataset/raw/images/val"
     test_images: str = "./dataset/raw/images/test"
     num_workers: int = 8
-    pin_memory: bool = True          # accepted for config parity; host→device
-    prefetch_factor: int = 2         # transfer is via jax.device_put prefetch
+    # pin_memory=True enables the double-buffered device-prefetch iterator
+    # in the Trainer (batch N+1 device_put'd + augmented while N computes) —
+    # the TPU analogue of torch pinned-memory staging.
+    pin_memory: bool = True
+    prefetch_factor: int = 2         # host-side decode-ahead queue depth
     is_test: bool = False
     # TPU-specific: ragged GT is padded to fixed shape for jit (SURVEY §7).
     max_gt_boxes: int = 128
+    # aspect-preserving letterbox resize instead of the reference's squash
+    # (transforms.py:9); geometry is emitted per-sample for inverse mapping
+    letterbox: bool = False
 
 
 @dataclasses.dataclass

@@ -30,7 +30,8 @@ class DetectionDataset:
     def __init__(self, parquet_path: str, image_dir: str,
                  input_size: Tuple[int, int] = (640, 640),
                  is_test: bool = False, percent: float = 1.0,
-                 max_gt: int = 128, seed: int = 42):
+                 max_gt: int = 128, seed: int = 42,
+                 letterbox: bool = False):
         if os.path.isdir(parquet_path):
             import glob
             files = sorted(glob.glob(os.path.join(parquet_path, "*.parquet")))
@@ -47,6 +48,42 @@ class DetectionDataset:
         self.image_dir = image_dir
         self.input_size = tuple(input_size)
         self.max_gt = max_gt
+        # aspect-preserving resize + 114-gray padding instead of the
+        # reference's squash resize (its transforms.py:9); boxes map as
+        # model = orig * scale + offset
+        self.letterbox = letterbox
+
+    def _geometry(self, orig_w: int, orig_h: int):
+        """Per-image mapping model = orig * (sx, sy) + (dx, dy)."""
+        th, tw = self.input_size
+        if self.letterbox:
+            s = min(th / max(orig_h, 1), tw / max(orig_w, 1))
+            nw, nh = int(round(orig_w * s)), int(round(orig_h * s))
+            dx, dy = (tw - nw) // 2, (th - nh) // 2
+            return (s, s), (float(dx), float(dy)), (nw, nh)
+        sx = tw / max(orig_w, 1)
+        sy = th / max(orig_h, 1)
+        return (sx, sy), (0.0, 0.0), (tw, th)
+
+    def _pack_targets(self, row, scale, offset):
+        (sx, sy), (dx, dy) = scale, offset
+        bboxes = np.asarray([list(b) for b in row["bbox"]],
+                            dtype=np.float32).reshape(-1, 4)
+        labels = np.asarray(list(row["category_id"]), dtype=np.int32)
+        # COCO top-left XYWH → center-xywh in model-input pixels
+        cx = (bboxes[:, 0] + bboxes[:, 2] / 2) * sx + dx
+        cy = (bboxes[:, 1] + bboxes[:, 3] / 2) * sy + dy
+        w = bboxes[:, 2] * sx
+        h = bboxes[:, 3] * sy
+        boxes = np.stack([cx, cy, w, h], axis=1)
+        k = min(len(boxes), self.max_gt)
+        gt_boxes = np.zeros((self.max_gt, 4), np.float32)
+        gt_labels = np.zeros((self.max_gt,), np.int32)
+        gt_mask = np.zeros((self.max_gt,), bool)
+        gt_boxes[:k] = boxes[:k]
+        gt_labels[:k] = labels[:k]
+        gt_mask[:k] = True
+        return gt_boxes, gt_labels, gt_mask, k
 
     def __len__(self) -> int:
         return len(self.df)
@@ -59,31 +96,18 @@ class DetectionDataset:
         with Image.open(path) as img:
             img = img.convert("RGB")
             orig_w, orig_h = img.size
-            img = img.resize((self.input_size[1], self.input_size[0]),
-                             Image.Resampling.BILINEAR)
-            image = np.asarray(img, dtype=np.uint8)
+            scale, offset, (nw, nh) = self._geometry(orig_w, orig_h)
+            img = img.resize((nw, nh), Image.Resampling.BILINEAR)
+            if self.letterbox:
+                th, tw = self.input_size
+                image = np.full((th, tw, 3), 114, np.uint8)
+                dx, dy = int(offset[0]), int(offset[1])
+                image[dy:dy + nh, dx:dx + nw] = np.asarray(img, np.uint8)
+            else:
+                image = np.asarray(img, dtype=np.uint8)
 
-        sx = self.input_size[1] / orig_w
-        sy = self.input_size[0] / orig_h
-
-        bboxes = np.asarray([list(b) for b in row["bbox"]],
-                            dtype=np.float32).reshape(-1, 4)
-        labels = np.asarray(list(row["category_id"]), dtype=np.int32)
-
-        # COCO top-left XYWH → center-xywh in model-input pixels
-        cx = (bboxes[:, 0] + bboxes[:, 2] / 2) * sx
-        cy = (bboxes[:, 1] + bboxes[:, 3] / 2) * sy
-        w = bboxes[:, 2] * sx
-        h = bboxes[:, 3] * sy
-        boxes = np.stack([cx, cy, w, h], axis=1)
-
-        k = min(len(boxes), self.max_gt)
-        gt_boxes = np.zeros((self.max_gt, 4), np.float32)
-        gt_labels = np.zeros((self.max_gt,), np.int32)
-        gt_mask = np.zeros((self.max_gt,), bool)
-        gt_boxes[:k] = boxes[:k]
-        gt_labels[:k] = labels[:k]
-        gt_mask[:k] = True
+        gt_boxes, gt_labels, gt_mask, k = self._pack_targets(
+            row, scale, offset)
 
         return {
             "image": image,                      # (H, W, 3) uint8
@@ -92,6 +116,11 @@ class DetectionDataset:
             "gt_mask": gt_mask,                  # (max_gt,)
             "image_id": np.int64(row["id"]),
             "num_gt": np.int32(k),
+            # inverse geometry for original-coordinate eval:
+            # orig = (model - offset) / scale
+            "scale": np.asarray(scale, np.float32),    # (2,) sx, sy
+            "offset": np.asarray(offset, np.float32),  # (2,) dx, dy
+            "orig_size": np.asarray([orig_w, orig_h], np.int32),
         }
 
     @property
@@ -107,23 +136,12 @@ class DetectionDataset:
         """GT-only sample (image decoded elsewhere, e.g. by the native C++
         engine): pad + convert boxes exactly like ``__getitem__``."""
         row = self.df.iloc[idx]
-        sx = self.input_size[1] / max(orig_w, 1)
-        sy = self.input_size[0] / max(orig_h, 1)
-        bboxes = np.asarray([list(b) for b in row["bbox"]],
-                            dtype=np.float32).reshape(-1, 4)
-        labels = np.asarray(list(row["category_id"]), dtype=np.int32)
-        cx = (bboxes[:, 0] + bboxes[:, 2] / 2) * sx
-        cy = (bboxes[:, 1] + bboxes[:, 3] / 2) * sy
-        w = bboxes[:, 2] * sx
-        h = bboxes[:, 3] * sy
-        boxes = np.stack([cx, cy, w, h], axis=1)
-        k = min(len(boxes), self.max_gt)
-        gt_boxes = np.zeros((self.max_gt, 4), np.float32)
-        gt_labels = np.zeros((self.max_gt,), np.int32)
-        gt_mask = np.zeros((self.max_gt,), bool)
-        gt_boxes[:k] = boxes[:k]
-        gt_labels[:k] = labels[:k]
-        gt_mask[:k] = True
+        scale, offset, _ = self._geometry(orig_w, orig_h)
+        gt_boxes, gt_labels, gt_mask, k = self._pack_targets(
+            row, scale, offset)
         return {"gt_boxes": gt_boxes, "gt_labels": gt_labels,
                 "gt_mask": gt_mask, "image_id": np.int64(row["id"]),
-                "num_gt": np.int32(k)}
+                "num_gt": np.int32(k),
+                "scale": np.asarray(scale, np.float32),
+                "offset": np.asarray(offset, np.float32),
+                "orig_size": np.asarray([orig_w, orig_h], np.int32)}

@@ -75,6 +75,13 @@ class DataLoader:
                     self._native = NativeDecoder(self.num_workers)
             except Exception:
                 self._native = None
+            # the native decoder squash-resizes; letterbox geometry needs
+            # the PIL path (pad-aware decode)
+            if getattr(dataset, "letterbox", False) and self._native:
+                if use_native is True:
+                    raise RuntimeError(
+                        "native decoder does not support letterbox=True")
+                self._native = None
             if use_native is True and self._native is None:
                 raise RuntimeError("native decoder requested but unavailable")
 
@@ -152,22 +159,25 @@ class DataLoader:
             stop.set()
 
 
-def get_data_loaders(config, process_index: int = 0, process_count: int = 1
+def get_data_loaders(config, process_index: int = 0, process_count: int = 1,
+                     percent: float = 1.0, pad_val_to_multiple: int = 1
                      ) -> Tuple[DataLoader, DataLoader]:
     """Build (train, val) loaders from a Config — same role as the reference
-    factory (``data_loader.py:11-51``)."""
+    factory (``data_loader.py:11-51``). ``percent`` subsamples both splits
+    (the reference's ``dataset_percent``), ``pad_val_to_multiple`` pads
+    ragged val batches for sharded meshes."""
     import os
 
     d = config.data
     t = config.training
+    letterbox = getattr(d, "letterbox", False)
+    kw = dict(input_size=tuple(config.model.input_size), is_test=t.is_test,
+              max_gt=d.max_gt_boxes, seed=config.project.seed,
+              percent=percent, letterbox=letterbox)
     train_ds = DetectionDataset(
-        os.path.join(d.processed_dir, d.train_parquet),
-        d.train_images, input_size=tuple(config.model.input_size),
-        is_test=t.is_test, max_gt=d.max_gt_boxes, seed=config.project.seed)
+        os.path.join(d.processed_dir, d.train_parquet), d.train_images, **kw)
     val_ds = DetectionDataset(
-        os.path.join(d.processed_dir, d.val_parquet),
-        d.val_images, input_size=tuple(config.model.input_size),
-        is_test=t.is_test, max_gt=d.max_gt_boxes, seed=config.project.seed)
+        os.path.join(d.processed_dir, d.val_parquet), d.val_images, **kw)
     train = DataLoader(train_ds, t.batch_size, shuffle=True, drop_last=True,
                        num_workers=d.num_workers,
                        prefetch_factor=d.prefetch_factor,
@@ -179,5 +189,6 @@ def get_data_loaders(config, process_index: int = 0, process_count: int = 1
                      prefetch_factor=d.prefetch_factor,
                      seed=config.project.seed,
                      process_index=process_index,
-                     process_count=process_count)
+                     process_count=process_count,
+                     pad_to_multiple=pad_val_to_multiple)
     return train, val

@@ -110,27 +110,66 @@ def fuse_params(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": _fold_convbn(params, stats)}
 
 
-def preprocess_image(image, input_size: Tuple[int, int] = (640, 640)
-                     ) -> np.ndarray:
+def preprocess_image(image, input_size: Tuple[int, int] = (640, 640),
+                     letterbox: bool = False, return_geometry: bool = False):
     """Host-side single-image preprocessing matching the reference val
-    transform (``src/data/transforms.py:16-24``): squash-resize to
-    input_size, scale to [0,1], ImageNet-normalize. Returns NHWC (1,H,W,3)."""
+    transform (``src/data/transforms.py:16-24``): squash-resize (or
+    aspect-preserving letterbox with 114-gray padding) to input_size, scale
+    to [0,1], ImageNet-normalize. Returns NHWC (1,H,W,3), plus
+    ``(scale (2,), offset (2,))`` — model = orig*scale + offset — when
+    ``return_geometry``."""
     from PIL import Image
 
+    th, tw = input_size
     if isinstance(image, str):
         image = Image.open(image).convert("RGB")
     if isinstance(image, Image.Image):
-        image = image.resize((input_size[1], input_size[0]),
-                             Image.Resampling.BILINEAR)
-        arr = np.asarray(image, dtype=np.float32) / 255.0
+        orig_w, orig_h = image.size
+        if letterbox:
+            s = min(th / max(orig_h, 1), tw / max(orig_w, 1))
+            nw, nh = int(round(orig_w * s)), int(round(orig_h * s))
+            dx, dy = (tw - nw) // 2, (th - nh) // 2
+            canvas = np.full((th, tw, 3), 114, np.uint8)
+            canvas[dy:dy + nh, dx:dx + nw] = np.asarray(
+                image.resize((nw, nh), Image.Resampling.BILINEAR), np.uint8)
+            arr = canvas.astype(np.float32) / 255.0
+            scale = np.asarray([s, s], np.float32)
+            offset = np.asarray([dx, dy], np.float32)
+        else:
+            arr = np.asarray(
+                image.resize((tw, th), Image.Resampling.BILINEAR),
+                dtype=np.float32) / 255.0
+            scale = np.asarray([tw / max(orig_w, 1), th / max(orig_h, 1)],
+                               np.float32)
+            offset = np.zeros(2, np.float32)
     else:
+        # array input: keep float precision (no uint8 round-trip)
         arr = np.asarray(image, dtype=np.float32)
         if arr.max() > 1.5:  # assume uint8 range
             arr = arr / 255.0
-        if arr.shape[:2] != tuple(input_size):
-            arr = np.asarray(jax.image.resize(
-                jnp.asarray(arr), (*input_size, arr.shape[-1]), "bilinear"))
+        orig_h, orig_w = arr.shape[:2]
+        if letterbox:
+            s = min(th / max(orig_h, 1), tw / max(orig_w, 1))
+            nw, nh = int(round(orig_w * s)), int(round(orig_h * s))
+            dx, dy = (tw - nw) // 2, (th - nh) // 2
+            resized = np.asarray(jax.image.resize(
+                jnp.asarray(arr), (nh, nw, arr.shape[-1]), "bilinear"))
+            canvas = np.full((th, tw, arr.shape[-1]), 114.0 / 255.0,
+                             np.float32)
+            canvas[dy:dy + nh, dx:dx + nw] = resized
+            arr = canvas
+            scale = np.asarray([s, s], np.float32)
+            offset = np.asarray([dx, dy], np.float32)
+        else:
+            if arr.shape[:2] != (th, tw):
+                arr = np.asarray(jax.image.resize(
+                    jnp.asarray(arr), (th, tw, arr.shape[-1]), "bilinear"))
+            scale = np.asarray([tw / max(orig_w, 1), th / max(orig_h, 1)],
+                               np.float32)
+            offset = np.zeros(2, np.float32)
     arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    if return_geometry:
+        return arr[None], scale, offset
     return arr[None]
 
 
@@ -234,14 +273,25 @@ class Detector:
         return self._apply_eval(self.variables, x)
 
     def inference(self, image, conf_thres: float = 0.25,
-                  iou_thres: float = 0.45, max_det: int = 300):
+                  iou_thres: float = 0.45, max_det: int = 300,
+                  letterbox: bool = False, original_coords: bool = False):
         """Single-image predict: path / PIL / array → list of (n, 6)
         [x1,y1,x2,y2,conf,cls] per image (reference model_builder.py:79-139).
-        """
-        batch = jnp.asarray(preprocess_image(image, self.input_size))
-        result = self.serve(batch, conf_thres=conf_thres,
+        Coordinates are model-input pixels (reference behavior); pass
+        ``original_coords=True`` to map back to the source image."""
+        arr, scale, offset = preprocess_image(
+            image, self.input_size, letterbox=letterbox,
+            return_geometry=True)
+        result = self.serve(jnp.asarray(arr), conf_thres=conf_thres,
                             iou_thres=iou_thres, max_det=max_det)
-        return nms_to_lists(result)
+        lists = nms_to_lists(result)
+        if original_coords:
+            for det in lists:
+                det[:, 0] = (det[:, 0] - offset[0]) / scale[0]
+                det[:, 2] = (det[:, 2] - offset[0]) / scale[0]
+                det[:, 1] = (det[:, 1] - offset[1]) / scale[1]
+                det[:, 3] = (det[:, 3] - offset[1]) / scale[1]
+        return lists
 
     def serve(self, images: jnp.ndarray, conf_thres: float = 0.25,
               iou_thres: float = 0.45, max_det: int = 300):

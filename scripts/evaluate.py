@@ -30,6 +30,11 @@ def main():
                         "decode skips NMS — quirk #5)")
     p.add_argument("--coco_map", action="store_true",
                    help="also compute true COCO mAP@50:95")
+    p.add_argument("--model_coords", action="store_true",
+                   help="score COCO mAP in 640² model space instead of "
+                        "original-image coordinates (the official protocol "
+                        "uses original coordinates — area ranges depend on "
+                        "true pixel sizes)")
     args = p.parse_args()
 
     if args.device == "cpu":
@@ -87,7 +92,8 @@ def main():
         os.path.join(cfg.data.processed_dir, cfg.data.val_parquet),
         cfg.data.val_images, input_size=tuple(cfg.model.input_size),
         is_test=cfg.training.is_test, percent=args.dataset_percent,
-        max_gt=cfg.data.max_gt_boxes, seed=cfg.project.seed)
+        max_gt=cfg.data.max_gt_boxes, seed=cfg.project.seed,
+        letterbox=cfg.data.letterbox)
     loader = DataLoader(ds, cfg.training.batch_size, shuffle=False,
                         drop_last=False, num_workers=get_num_workers(),
                         seed=cfg.project.seed)
@@ -111,15 +117,37 @@ def main():
         gt_mask = np.asarray(batch["gt_mask"])
         scores = np.asarray(decoded.scores)
         valid = np.asarray(decoded.valid)
+        scale = np.asarray(host_batch["scale"])    # (N, 2) sx, sy
+        offset = np.asarray(host_batch["offset"])  # (N, 2) dx, dy
+        pad = np.asarray(host_batch.get(
+            "sample_pad", np.zeros(gt_boxes.shape[0], bool)))
+
+        def to_original(arr5, i):
+            """center-xywh+cls in model space → original-image pixels:
+            orig = (model - offset) / scale (official COCO protocol —
+            area ranges depend on true pixel sizes)."""
+            out = arr5.copy()
+            out[:, 0] = (arr5[:, 0] - offset[i, 0]) / scale[i, 0]
+            out[:, 1] = (arr5[:, 1] - offset[i, 1]) / scale[i, 1]
+            out[:, 2] = arr5[:, 2] / scale[i, 0]
+            out[:, 3] = arr5[:, 3] / scale[i, 1]
+            return out
+
         for i, plist in enumerate(pred_lists):
+            if pad[i]:
+                continue  # repeated sample padding a sharded batch
             m = gt_mask[i]
             targets = np.concatenate(
                 [gt_boxes[i][m], gt_labels[i][m, None].astype(np.float32)],
                 axis=1)
             det.update(plist, targets)
             if cmap is not None:
-                cmap.update(plist, scores[i][valid[i]], targets)
-        n_images += gt_boxes.shape[0]
+                if args.model_coords:
+                    cmap.update(plist, scores[i][valid[i]], targets)
+                else:
+                    cmap.update(to_original(plist, i), scores[i][valid[i]],
+                                to_original(targets, i))
+        n_images += int((~pad).sum())
     dt = time.time() - t0
 
     results = det.compute()

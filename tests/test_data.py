@@ -307,3 +307,72 @@ def test_etl_two_file_merge(tmp_path):
     assert got == {"grass": 0, "zebra": 1}
     assert sorted(row["old_category_id"]) == [5, 93]
     assert len(row["bbox"]) == 2
+
+
+# ---------------------------------------------------------------- letterbox
+def test_dataset_letterbox_geometry(tiny_coco):
+    """letterbox=True: aspect-preserving scale, 114-gray padding, and the
+    emitted (scale, offset) invert GT boxes back to the parquet values."""
+    from custom_yolo_tpu.data.dataset import DetectionDataset
+
+    ds = DetectionDataset(str(tiny_coco["parquet"]),
+                          str(tiny_coco["img_dir"]),
+                          input_size=(64, 64), max_gt=8, letterbox=True)
+    for idx in range(len(ds)):
+        s = ds[idx]
+        assert s["image"].shape == (64, 64, 3)
+        scale, offset = s["scale"], s["offset"]
+        assert scale[0] == scale[1] > 0
+        ow, oh = (int(v) for v in s["orig_size"])
+        assert scale[0] == pytest.approx(min(64 / ow, 64 / oh))
+        # the shorter side is padded with gray 114
+        nw, nh = int(round(ow * scale[0])), int(round(oh * scale[1]))
+        if nh < 64:
+            assert (s["image"][0] == 114).all()
+        if nw < 64:
+            assert (s["image"][:, 0] == 114).all()
+        # inverse mapping recovers the original annotation boxes
+        row = ds.df.iloc[idx]
+        raw = np.asarray([list(b) for b in row["bbox"]], np.float32)
+        k = int(s["num_gt"])
+        b = s["gt_boxes"][:k]
+        cx = (b[:, 0] - offset[0]) / scale[0]
+        w = b[:, 2] / scale[0]
+        np.testing.assert_allclose(cx, raw[:k, 0] + raw[:k, 2] / 2,
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(w, raw[:k, 2], rtol=1e-5, atol=1e-4)
+
+
+def test_loader_stacks_geometry_keys(tiny_coco):
+    from custom_yolo_tpu.data.dataset import DetectionDataset
+    from custom_yolo_tpu.data.loader import DataLoader
+
+    ds = DetectionDataset(str(tiny_coco["parquet"]),
+                          str(tiny_coco["img_dir"]),
+                          input_size=(64, 64), max_gt=8, letterbox=True)
+    batch = next(iter(DataLoader(ds, batch_size=2, shuffle=False,
+                                 drop_last=False, num_workers=1,
+                                 use_native=False)))
+    assert batch["scale"].shape == (2, 2)
+    assert batch["offset"].shape == (2, 2)
+    assert batch["orig_size"].shape == (2, 2)
+
+
+def test_preprocess_image_letterbox_geometry():
+    from custom_yolo_tpu.models.detector import (
+        IMAGENET_MEAN, IMAGENET_STD, preprocess_image)
+
+    img = np.full((50, 100, 3), 200, np.uint8)  # wide image
+    arr, scale, offset = preprocess_image(img, (64, 64), letterbox=True,
+                                          return_geometry=True)
+    assert arr.shape == (1, 64, 64, 3)
+    assert scale[0] == pytest.approx(0.64)
+    assert offset[0] == 0 and offset[1] == (64 - 32) // 2
+    # padding rows carry the normalized 114-gray value
+    pad_px = arr[0, 0, 0]
+    expect = (114.0 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(pad_px, expect, atol=1e-5)
+    # content rows carry the normalized 200-gray value
+    content_px = arr[0, 32, 32]
+    expect_c = (200.0 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(content_px, expect_c, atol=1e-2)
