@@ -376,3 +376,121 @@ def test_preprocess_image_letterbox_geometry():
     content_px = arr[0, 32, 32]
     expect_c = (200.0 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     np.testing.assert_allclose(content_px, expect_c, atol=1e-2)
+
+
+# ---------------------------------------------------------------- ETL scale
+def test_stream_json_items_tiny_buffer(tiny_coco):
+    """Chunk boundaries mid-object: a 64-byte read buffer must still yield
+    every annotation exactly once."""
+    from custom_yolo_tpu.data.preprocess import stream_json_items
+    path = str(tiny_coco["ann_dir"] / "instances_val2017.json")
+    big = list(stream_json_items(path, "annotations"))
+    small = list(stream_json_items(path, "annotations", buf_size=64))
+    assert big == small
+    assert len(big) == len(tiny_coco["annotations"])
+
+
+def _write_synthetic_coco(path, n_images, anns_per_image):
+    """Stream a large COCO JSON to disk without building it in memory."""
+    import json as _json
+    with open(path, "w") as f:
+        f.write('{"info": {}, "images": [')
+        for i in range(n_images):
+            if i:
+                f.write(",")
+            f.write(_json.dumps({"id": i + 1, "file_name": f"i{i}.jpg",
+                                 "height": 480, "width": 640}))
+        f.write('], "annotations": [')
+        k = 0
+        for i in range(n_images):
+            for a in range(anns_per_image):
+                if k:
+                    f.write(",")
+                k += 1
+                x, y = float(a * 3 % 600), float(a * 7 % 440)
+                f.write(_json.dumps({
+                    "id": k, "image_id": i + 1,
+                    "category_id": 7 if a % 2 else 11,
+                    "bbox": [x, y, 20.0, 15.0], "area": 300.0, "iscrowd": 0,
+                    "segmentation": [[x, y, x + 20, y, x + 20, y + 15]]}))
+        f.write('], "categories": ['
+                '{"id": 7, "name": "zebra", "supercategory": "animal"},'
+                '{"id": 11, "name": "apple", "supercategory": "food"}]}')
+    return k
+
+
+def test_etl_sharded_output_matches_single_shard(tmp_path):
+    """Multi-shard spill path groups identically to the in-memory path."""
+    import pandas as pd
+    from custom_yolo_tpu.data.preprocess import DataPreprocess
+
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    _write_synthetic_coco(str(ann / "instances_val2017.json"), 50, 4)
+    args = dict(
+        annotations_dir=str(ann), output_folder="val",
+        file_names=["instances_val2017.json"],
+        keys=["images", "annotations", "categories"],
+        columns=[["id", "file_name", "height", "width"],
+                 ["id", "image_id", "category_id", "bbox", "area",
+                  "iscrowd", "segmentation"],
+                 ["id", "name", "supercategory"]],
+        chunk_sizes=[100, 100, 100], is_test=False)
+    DataPreprocess.create_parquet_data(
+        output_dir=str(tmp_path / "one"), images_per_shard=1000, **args)
+    DataPreprocess.create_parquet_data(
+        output_dir=str(tmp_path / "many"), images_per_shard=13, **args)
+    import glob
+    one_files = glob.glob(str(tmp_path / "one" / "val" / "*.parquet"))
+    many_files = glob.glob(str(tmp_path / "many" / "val" / "*.parquet"))
+    assert len(one_files) == 1 and len(many_files) == 4  # ceil(50/13)
+    a = pd.read_parquet(str(tmp_path / "one" / "val")).sort_values(
+        "id", ignore_index=True)
+    b = pd.read_parquet(str(tmp_path / "many" / "val")).sort_values(
+        "id", ignore_index=True)
+    assert len(a) == len(b) == 50
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_etl_memory_bounded_at_scale(tmp_path):
+    """~150k-annotation ETL in a subprocess: peak RSS stays bounded (the
+    JSON is streamed and rows spill to disk shards) — VERDICT #6."""
+    import subprocess
+    import sys
+
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    n = _write_synthetic_coco(str(ann / "instances_val2017.json"),
+                              30_000, 5)
+    assert n == 150_000
+    json_mb = os.path.getsize(ann / "instances_val2017.json") / 1e6
+    code = f"""
+import resource, sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from custom_yolo_tpu.data.preprocess import DataPreprocess
+DataPreprocess.create_parquet_data(
+    annotations_dir={str(ann)!r}, output_dir={str(tmp_path / 'out')!r},
+    output_folder="val", file_names=["instances_val2017.json"],
+    keys=["images", "annotations", "categories"],
+    columns=[["id", "file_name", "height", "width"],
+             ["id", "image_id", "category_id", "bbox", "area",
+              "iscrowd", "segmentation"],
+             ["id", "name", "supercategory"]],
+    chunk_sizes=[10000, 10000, 10000], is_test=False,
+    images_per_shard=5000)
+print("MAXRSS_MB", resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rss_mb = float(r.stdout.split("MAXRSS_MB")[1].strip())
+    # pandas+pyarrow import ~220MB; one 5000-image shard is ~20MB of rows.
+    # The old implementation held the whole JSON + full merged frame
+    # (>3x the JSON size on top of imports).
+    assert rss_mb < 300 + 2 * json_mb, (rss_mb, json_mb)
+    import glob
+    shards = glob.glob(str(tmp_path / "out" / "val" / "*.parquet"))
+    assert len(shards) == 6  # ceil(30000/5000)
+    import pandas as pd
+    total = sum(len(pd.read_parquet(s)) for s in shards)
+    assert total == 30_000
