@@ -20,6 +20,11 @@ def main():
     p.add_argument("--preset", default="x")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--top_k", type=int, default=1024,
+                   help="NMS candidate-pool size (lane-aligned multiples "
+                        "of 128 pick the Pallas kernel; 512 halves the "
+                        "suppression sweep for light presets)")
+    p.add_argument("--merge", action="store_true", help="merge-NMS")
     args = p.parse_args()
 
     import jax
@@ -51,7 +56,8 @@ def main():
         best_scores = jnp.max(scores, axis=-1)
         best_classes = jnp.argmax(scores, axis=-1)
         return batched_nms(boxes, best_scores, best_classes,
-                           conf_thres=args.conf, max_det=300)
+                           conf_thres=args.conf, max_det=300,
+                           top_k=args.top_k, merge=args.merge)
 
     def bench_fn(v, x):
         def body(acc, i):

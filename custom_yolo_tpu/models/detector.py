@@ -44,6 +44,10 @@ class YoloModel(nn.Module):
     reg_max: int = 16
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    # PartitionSpec pinning every ConvBN activation batch-sharded under a
+    # mesh (see parallel/sharding.py:activation_spec) — kills the GSPMD
+    # involuntary-rematerialization pathologies in the fsdp backward pass
+    act_spec: Optional[Any] = None
     fused: bool = False
     # rematerialize backbone/neck activations in the backward pass — trades
     # FLOPs for HBM (jax.checkpoint; lets large presets train at batch
@@ -53,7 +57,7 @@ class YoloModel(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
         backbone_cls, neck_cls = Backbone, Neck
         if self.remat:
             backbone_cls = nn.remat(Backbone, static_argnums=(2,))
@@ -294,14 +298,22 @@ class Detector:
         return lists
 
     def serve(self, images: jnp.ndarray, conf_thres: float = 0.25,
-              iou_thres: float = 0.45, max_det: int = 300):
+              iou_thres: float = 0.45, max_det: int = 300,
+              top_k: int = 1024, merge: bool = False,
+              class_filter: Optional[Tuple[int, ...]] = None,
+              multi_label: bool = False):
         """Batched serving path: preprocessed NHWC batch → fixed-shape
         :class:`~custom_yolo_tpu.ops.nms.NMSResult`. Forward + DFL decode +
         class argmax + batched NMS compile into ONE XLA program (no host
         round-trips between stages — the reference hops through python
-        between forward, decode, and torchvision NMS)."""
+        between forward, decode, and torchvision NMS).
+
+        top_k caps the NMS candidate pool (reference max_nms=30000 analogue,
+        model_utils.py:259); merge/class_filter/multi_label mirror the
+        reference's non_max_suppression options (:243-252, :266-272)."""
         assert self.variables is not None, "call .init() or load weights"
-        key = (float(conf_thres), float(iou_thres), int(max_det))
+        key = (float(conf_thres), float(iou_thres), int(max_det),
+               int(top_k), bool(merge), class_filter, bool(multi_label))
         fn = self._serve_cache.get(key)
         if fn is None:
             module, reg_max = self.module, self.reg_max
@@ -316,7 +328,12 @@ class Detector:
                 best_classes = jnp.argmax(scores, axis=-1)
                 return batched_nms(boxes, best_scores, best_classes,
                                    conf_thres=conf_thres,
-                                   iou_thres=iou_thres, max_det=max_det)
+                                   iou_thres=iou_thres, max_det=max_det,
+                                   top_k=top_k, merge=merge,
+                                   class_filter=class_filter,
+                                   multi_label=multi_label,
+                                   all_scores=scores if multi_label
+                                   else None)
 
             fn = self._serve_cache[key] = serve_fn
         return fn(self.variables, images)

@@ -87,14 +87,39 @@ def _select_result(cand_boxes, cand_scores, cand_classes, keep, *,
             take(cand_classes), out_valid, num)
 
 
+def _merge_boxes(shifted, cand_boxes, cand_scores, cand_valid, keep,
+                 iou_thres):
+    """Merge-NMS for one image (reference model_utils.py:266-272): each
+    kept box becomes the score-weighted mean of every candidate (kept or
+    suppressed) overlapping it above ``iou_thres`` in class-offset space;
+    ``redundant`` drops kept boxes with no second supporter."""
+    iou = box_iou_pairwise(shifted, shifted)               # (K, K)
+    overlap = (iou > iou_thres) & cand_valid[None, :]
+    w = overlap * jnp.where(cand_valid, cand_scores, 0.0)[None, :]
+    merged = (w @ cand_boxes) / jnp.maximum(
+        w.sum(-1, keepdims=True), 1e-12)
+    boxes = jnp.where(keep[:, None], merged, cand_boxes)
+    redundant_keep = keep & (overlap.sum(-1) > 1)          # self counts once
+    return boxes, redundant_keep
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "conf_thres", "iou_thres", "top_k", "max_det", "agnostic", "backend"))
+    "conf_thres", "iou_thres", "top_k", "max_det", "agnostic", "backend",
+    "merge", "class_filter", "multi_label"))
 def batched_nms(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
                 classes: jnp.ndarray, *, conf_thres: float = 0.25,
                 iou_thres: float = 0.45, top_k: int = 1024,
                 max_det: int = 300, agnostic: bool = False,
-                backend: str = "auto") -> NMSResult:
-    """Class-aware hard NMS over a batch.
+                backend: str = "auto", merge: bool = False,
+                class_filter: tuple = None,
+                multi_label: bool = False,
+                all_scores: jnp.ndarray = None) -> NMSResult:
+    """Class-aware NMS over a batch — the full surface of the reference
+    ``non_max_suppression`` (model_utils.py:174-279): hard NMS, optional
+    merge-NMS with the redundancy requirement (:266-272; applied per image
+    only when ``1 < n < 3000`` candidates pass the gate, like the
+    reference), class filtering (:250-252), and multi-label candidates
+    (:243-245).
 
     Args:
       boxes_xyxy: (N, M, 4) float boxes in xyxy pixel coords.
@@ -102,13 +127,38 @@ def batched_nms(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
       classes: (N, M) int class ids.
       backend: "auto" (Pallas on TPU when the pool is lane-aligned, else
         XLA), "pallas", or "xla".
+      merge: merge-NMS (weighted-mean boxes + redundancy requirement).
+      class_filter: optional tuple of allowed class ids.
+      multi_label: one candidate per (box, class) above ``conf_thres``
+        instead of best-class-only; requires ``all_scores`` (N, M, nc).
     Returns fixed-shape :class:`NMSResult` (pad entries have valid=False).
+
+    Note: the candidate pool is capped at ``top_k`` per image (the
+    reference caps at max_nms=30000); raise ``top_k`` for early-training
+    regimes where more than ``top_k`` boxes clear the gate.
     """
     boxes_xyxy = boxes_xyxy.astype(jnp.float32)
     scores = scores.astype(jnp.float32)
     classes = classes.astype(jnp.int32)
+
+    if multi_label:
+        if all_scores is None:
+            raise ValueError("multi_label=True requires all_scores")
+        n_img, m, nc = all_scores.shape
+        # one candidate per (box, class): flatten to M*nc
+        scores = all_scores.astype(jnp.float32).reshape(n_img, m * nc)
+        classes = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32),
+                                   (n_img, m, nc)).reshape(n_img, m * nc)
+        boxes_xyxy = jnp.repeat(boxes_xyxy, nc, axis=1)
+
+    if class_filter is not None:
+        allowed = jnp.isin(classes, jnp.asarray(class_filter, jnp.int32))
+        scores = jnp.where(allowed, scores, -1.0)
+
     m = scores.shape[-1]
     k = min(top_k, m)
+    # candidate count before the pool cap (reference n, :259) — gates merge
+    n_pre = jnp.sum(scores > conf_thres, axis=-1)
 
     cand_boxes, cand_scores, cand_classes, cand_valid = jax.vmap(
         functools.partial(_gather_candidates, conf_thres=conf_thres,
@@ -133,6 +183,14 @@ def batched_nms(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
             iou = box_iou_pairwise(shifted_i, shifted_i)
             return _suppress(iou, iou_thres, init_keep=valid_i)
         keep = jax.vmap(suppress_one)(shifted, cand_valid)
+
+    if merge:
+        merged_boxes, merged_keep = jax.vmap(functools.partial(
+            _merge_boxes, iou_thres=iou_thres))(
+            shifted, cand_boxes, cand_scores, cand_valid, keep)
+        apply = ((n_pre > 1) & (n_pre < 3000))[:, None]  # reference :266
+        cand_boxes = jnp.where(apply[..., None], merged_boxes, cand_boxes)
+        keep = jnp.where(apply, merged_keep, keep)
 
     b, s, c, v, n = jax.vmap(functools.partial(
         _select_result, conf_thres=conf_thres, max_det=max_det))(
