@@ -49,6 +49,8 @@ class DataConfig:
     val_parquet: str = "val"
     train_images: str = "./dataset/raw/images/train"
     val_images: str = "./dataset/raw/images/val"
+    # default image folder for examples/serve_folder.py (the reference's
+    # test split directory, config.yaml:33)
     test_images: str = "./dataset/raw/images/test"
     num_workers: int = 8
     # pin_memory=True enables the double-buffered device-prefetch iterator

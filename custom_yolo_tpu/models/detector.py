@@ -53,6 +53,9 @@ class YoloModel(nn.Module):
     # FLOPs for HBM (jax.checkpoint; lets large presets train at batch
     # sizes that would otherwise OOM)
     remat: bool = False
+    # MXU-efficient stem: space-to-depth + equivalent 2×2 conv (exact
+    # transform of the reference stem — see backbone.stem_kernel_to_s2d)
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -64,7 +67,7 @@ class YoloModel(nn.Module):
             neck_cls = nn.remat(Neck, static_argnums=(2,))
         x = x.astype(self.policy.compute_dtype)
         feats = backbone_cls(self.width, self.depth, self.csp, name="net",
-                             **kw)(x, train)
+                             s2d_stem=self.s2d_stem, **kw)(x, train)
         feats = neck_cls(self.width, self.depth, self.csp, name="fpn",
                          **kw)(feats, train)
         preds, anchors, strides = Head(
@@ -112,6 +115,33 @@ def fuse_params(variables: Dict[str, Any]) -> Dict[str, Any]:
     stats = variables.get("batch_stats", {})
     stats = unfreeze(stats) if hasattr(stats, "unfreeze") else dict(stats)
     return {"params": _fold_convbn(params, stats)}
+
+
+def convert_stem_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Variables of a standard YoloModel → variables for the same model with
+    ``s2d_stem=True`` (exact: only the p1 kernel is re-expressed — works on
+    fused and unfused trees alike)."""
+    from custom_yolo_tpu.models.backbone import stem_kernel_to_s2d
+
+    def convert(tree):
+        out = {}
+        for key, value in tree.items():
+            if key == "net" and isinstance(value, dict) \
+                    and "p1_conv" in value:
+                p1 = dict(value["p1_conv"])
+                if "conv" in p1 and "kernel" in p1["conv"]:
+                    conv = dict(p1["conv"])
+                    conv["kernel"] = stem_kernel_to_s2d(conv["kernel"])
+                    p1["conv"] = conv
+                out[key] = {**value, "p1_conv": p1}
+            elif isinstance(value, dict):
+                out[key] = convert(value)
+            else:
+                out[key] = value
+        return out
+
+    return convert(unfreeze(variables) if hasattr(variables, "unfreeze")
+                   else dict(variables))
 
 
 def preprocess_image(image, input_size: Tuple[int, int] = (640, 640),
@@ -270,6 +300,20 @@ class Detector:
             lambda v, x: self.module.apply(v, x, train=False))
         self._serve_cache.clear()
         self._fused = True
+        return self
+
+    def optimize_for_tpu(self) -> "Detector":
+        """Switch to the MXU-efficient space-to-depth stem. Exactly
+        output-preserving (the p1 kernel is re-expressed, not retrained);
+        composes with :meth:`fuse` in either order."""
+        if self.module.s2d_stem:
+            return self
+        if self.variables is not None:
+            self.variables = convert_stem_variables(self.variables)
+        self.module = self.module.clone(s2d_stem=True)
+        self._apply_eval = jax.jit(
+            lambda v, x: self.module.apply(v, x, train=False))
+        self._serve_cache.clear()
         return self
 
     def __call__(self, x: jnp.ndarray):

@@ -18,7 +18,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ class Head(nn.Module):
     strides: Tuple[int, ...] = (8, 16, 32)
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    act_spec: Optional[Any] = None
     fused: bool = False
 
     @property
@@ -51,7 +52,7 @@ class Head(nn.Module):
         box_ch = max(64, self.filters[0] // 4)
         cls_ch = max(80, self.filters[0], nc)
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
         cls_bias = math.log(PRIOR_PROB / (1 - PRIOR_PROB))
 
         outs: List[jax.Array] = []

@@ -7,7 +7,7 @@ stride-2 convs and fusion (h3–h6). NHWC, bf16 compute.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,7 @@ class Neck(nn.Module):
     csp: Tuple[bool, ...]
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    act_spec: Optional[Any] = None
     fused: bool = False
 
     @nn.compact
@@ -41,7 +42,7 @@ class Neck(nn.Module):
         p3, p4, p5 = feats
         w, d, c = self.width, self.depth, self.csp
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
 
         # top-down
         p4 = C3K2(w[4], d[5], c[0], r=2, name="h1", **kw)(

@@ -16,7 +16,7 @@ C3K :64-92, C3K2 :94-125, SPPF :127-156, Attention :158-198, PSABlock
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,22 +42,27 @@ class ConvBN(nn.Module):
     features: int
     kernel_size: int = 1
     strides: int = 1
-    padding: int = 0
+    padding: Any = 0            # int p → ((p,p),(p,p)); or explicit pairs
     groups: int = 1
     act: Optional[Callable] = jax.nn.silu  # None == identity
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None     # set to sync BN across replicas
+    # PartitionSpec pinning the block output batch-sharded under a mesh —
+    # gives the GSPMD partitioner a fixed activation layout so fsdp param
+    # shardings can't leak into activations (involuntary rematerialization)
+    act_spec: Optional[Any] = None
 
     fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         k, p = self.kernel_size, self.padding
+        pad = ((p, p), (p, p)) if isinstance(p, int) else tuple(p)
         x = nn.Conv(
             features=self.features,
             kernel_size=(k, k),
             strides=(self.strides, self.strides),
-            padding=((p, p), (p, p)),
+            padding=pad,
             feature_group_count=self.groups,
             use_bias=self.fused,
             dtype=self.policy.compute_dtype,
@@ -76,6 +81,8 @@ class ConvBN(nn.Module):
             )(x)
         if self.act is not None:
             x = self.act(x)
+        if self.act_spec is not None:
+            x = jax.lax.with_sharding_constraint(x, self.act_spec)
         return x
 
 
@@ -87,13 +94,14 @@ class Residual(nn.Module):
     e: float = 0.5
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    act_spec: Optional[Any] = None
     fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         mid = int(self.ch * self.e)
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
         y = ConvBN(mid, kernel_size=3, padding=1, name="conv1", **kw)(x, train)
         y = ConvBN(self.ch, kernel_size=3, padding=1, name="conv2", **kw)(y, train)
         return x + y
@@ -106,13 +114,14 @@ class C3K(nn.Module):
     out_ch: int
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    act_spec: Optional[Any] = None
     fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         half = self.out_ch // 2
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
         y = ConvBN(half, name="conv1", **kw)(x, train)
         y = Residual(half, e=1.0, name="res0", **kw)(y, train)
         y = Residual(half, e=1.0, name="res1", **kw)(y, train)
@@ -132,13 +141,14 @@ class C3K2(nn.Module):
     r: int
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    act_spec: Optional[Any] = None
     fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         hidden = self.out_ch // self.r
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
         y = ConvBN(2 * hidden, name="conv1", **kw)(x, train)
         parts = list(jnp.split(y, 2, axis=-1))
         for i in range(self.n):
@@ -172,13 +182,14 @@ class SPPF(nn.Module):
     k: int = 5
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    act_spec: Optional[Any] = None
     fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c_in = x.shape[-1]
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
         x = ConvBN(c_in // 2, name="cv1", **kw)(x, train)
         y1 = _maxpool_same(x, self.k)
         y2 = _maxpool_same(y1, self.k)
@@ -199,6 +210,7 @@ class Attention(nn.Module):
     num_head: int
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    act_spec: Optional[Any] = None
     fused: bool = False
 
     @nn.compact
@@ -209,7 +221,7 @@ class Attention(nn.Module):
         dim_key = dim_head // 2
         scale = dim_key ** -0.5
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
 
         qkv = ConvBN(c + dim_key * nh * 2, act=None, name="qkv", **kw)(x, train)
         # (b, h*w, nh, 2*dim_key + dim_head) — tokens in sublanes, head dims
@@ -239,13 +251,14 @@ class PSABlock(nn.Module):
     num_head: int
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    act_spec: Optional[Any] = None
     fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c = x.shape[-1]
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
         x = x + Attention(self.num_head, name="attn", **kw)(x, train)
         y = ConvBN(c * 2, name="ffn1", **kw)(x, train)
         y = ConvBN(c, act=None, name="ffn2", **kw)(y, train)
@@ -259,13 +272,14 @@ class PSA(nn.Module):
     n: int
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
+    act_spec: Optional[Any] = None
     fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c = x.shape[-1]
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused)
         y = ConvBN(2 * (c // 2), name="conv1", **kw)(x, train)
         a, b = jnp.split(y, 2, axis=-1)
         num_head = max(1, (c // 2) // 64)  # == reference ch//128 heads on c/2

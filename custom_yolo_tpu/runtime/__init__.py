@@ -27,13 +27,20 @@ def build_native(force: bool = False) -> Optional[str]:
         if not force and os.path.exists(_LIB) and \
                 os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
             return _LIB
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-               "-o", _LIB, "-ljpeg", "-lpthread"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-            return _LIB
-        except (subprocess.CalledProcessError, FileNotFoundError):
-            return None
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                "-o", _LIB, "-ljpeg", "-lpthread"]
+        # -march=native lets the resize inner loops auto-vectorize to the
+        # host's widest SIMD; fall back to portable codegen if unsupported
+        for extra in (["-march=native", "-funroll-loops"], []):
+            try:
+                subprocess.run(base[:1] + extra + base[1:], check=True,
+                               capture_output=True, text=True)
+                return _LIB
+            except subprocess.CalledProcessError:
+                continue
+            except FileNotFoundError:
+                return None
+        return None
 
 
 _lib_handle = None

@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -shared -fPIC decoder.cpp -o libyolo_runtime.so -ljpeg
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <csetjmp>
@@ -38,11 +39,23 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 
 // ---------------------------------------------------------------- decode
 // Decode a JPEG file to RGB. Returns true on success; fills w/h and pixel
-// vector (h*w*3).
+// vector (h*w*3). The whole file is slurped into memory first (jpeg_mem_src
+// avoids per-scanline stdio locking) and scanlines are pulled in batches.
 bool decode_jpeg_file(const char* path, std::vector<unsigned char>& pixels,
                       int* width, int* height) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return false;
+  fseek(fp, 0, SEEK_END);
+  const long fsize = ftell(fp);
+  fseek(fp, 0, SEEK_SET);
+  if (fsize <= 0) { fclose(fp); return false; }
+  thread_local std::vector<unsigned char> filebuf;
+  filebuf.resize(static_cast<size_t>(fsize));
+  const bool read_ok =
+      fread(filebuf.data(), 1, static_cast<size_t>(fsize), fp) ==
+      static_cast<size_t>(fsize);
+  fclose(fp);
+  if (!read_ok) return false;
 
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
@@ -50,12 +63,11 @@ bool decode_jpeg_file(const char* path, std::vector<unsigned char>& pixels,
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(fp);
     return false;
   }
 
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, fp);
+  jpeg_mem_src(&cinfo, filebuf.data(), static_cast<unsigned long>(fsize));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
@@ -64,14 +76,17 @@ bool decode_jpeg_file(const char* path, std::vector<unsigned char>& pixels,
   const int h = cinfo.output_height;
   const int stride = w * 3;
   pixels.resize(static_cast<size_t>(h) * stride);
+  JSAMPROW rows[16];
   while (cinfo.output_scanline < cinfo.output_height) {
-    unsigned char* row = pixels.data() +
-        static_cast<size_t>(cinfo.output_scanline) * stride;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+    const int base = cinfo.output_scanline;
+    const int want = std::min(16, h - base);
+    for (int i = 0; i < want; ++i) {
+      rows[i] = pixels.data() + static_cast<size_t>(base + i) * stride;
+    }
+    jpeg_read_scanlines(&cinfo, rows, want);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(fp);
   *width = w;
   *height = h;
   return true;
@@ -125,22 +140,39 @@ void bilinear_resize(const unsigned char* src, int sw, int sh,
                      unsigned char* dst, int dw, int dh) {
   const ResampleCoeffs cx = triangle_coeffs(sw, dw);
   const ResampleCoeffs cy = triangle_coeffs(sh, dh);
+  const int dstride = dw * 3;
 
-  // horizontal pass: (sh, sw) → (sh, dw) float
-  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
+  // horizontal pass: (sh, sw) u8 → (sh, dw) float. Inner loops specialized
+  // on tap count (upscale/identity is 1–2 taps) so the compiler emits
+  // straight-line FMA code instead of a variable-trip-count gather loop.
+  thread_local std::vector<float> tmp;
+  tmp.resize(static_cast<size_t>(sh) * dstride);
   for (int y = 0; y < sh; ++y) {
-    const unsigned char* row = src + static_cast<size_t>(y) * sw * 3;
-    float* out = tmp.data() + static_cast<size_t>(y) * dw * 3;
+    const unsigned char* __restrict__ row =
+        src + static_cast<size_t>(y) * sw * 3;
+    float* __restrict__ out = tmp.data() + static_cast<size_t>(y) * dstride;
     for (int x = 0; x < dw; ++x) {
       const int first = cx.bounds[x * 2];
       const int count = cx.bounds[x * 2 + 1];
-      const float* w = cx.weights.data() + static_cast<size_t>(x) * cx.ksize;
-      float acc0 = 0, acc1 = 0, acc2 = 0;
-      for (int i = 0; i < count; ++i) {
-        const unsigned char* p = row + (first + i) * 3;
-        acc0 += p[0] * w[i];
-        acc1 += p[1] * w[i];
-        acc2 += p[2] * w[i];
+      const float* __restrict__ w =
+          cx.weights.data() + static_cast<size_t>(x) * cx.ksize;
+      const unsigned char* __restrict__ p = row + first * 3;
+      float acc0, acc1, acc2;
+      if (count == 1) {
+        acc0 = p[0] * w[0];
+        acc1 = p[1] * w[0];
+        acc2 = p[2] * w[0];
+      } else if (count == 2) {
+        acc0 = p[0] * w[0] + p[3] * w[1];
+        acc1 = p[1] * w[0] + p[4] * w[1];
+        acc2 = p[2] * w[0] + p[5] * w[1];
+      } else {
+        acc0 = acc1 = acc2 = 0.0f;
+        for (int i = 0; i < count; ++i) {
+          acc0 += p[i * 3] * w[i];
+          acc1 += p[i * 3 + 1] * w[i];
+          acc2 += p[i * 3 + 2] * w[i];
+        }
       }
       out[x * 3] = acc0;
       out[x * 3 + 1] = acc1;
@@ -148,18 +180,31 @@ void bilinear_resize(const unsigned char* src, int sw, int sh,
     }
   }
 
-  // vertical pass: (sh, dw) float → (dh, dw) u8
+  // vertical pass: (sh, dw) float → (dh, dw) u8, tap-outer so each tap is a
+  // contiguous axpy over the row (auto-vectorizes to the host SIMD width).
+  thread_local std::vector<float> acc;
+  acc.resize(dstride);
   for (int y = 0; y < dh; ++y) {
     const int first = cy.bounds[y * 2];
     const int count = cy.bounds[y * 2 + 1];
-    const float* w = cy.weights.data() + static_cast<size_t>(y) * cy.ksize;
-    unsigned char* out = dst + static_cast<size_t>(y) * dw * 3;
-    for (int x = 0; x < dw * 3; ++x) {
-      float acc = 0;
-      for (int i = 0; i < count; ++i) {
-        acc += tmp[static_cast<size_t>(first + i) * dw * 3 + x] * w[i];
-      }
-      int v = static_cast<int>(acc + 0.5f);
+    const float* __restrict__ w =
+        cy.weights.data() + static_cast<size_t>(y) * cy.ksize;
+    float* __restrict__ a = acc.data();
+    {
+      const float* __restrict__ r =
+          tmp.data() + static_cast<size_t>(first) * dstride;
+      const float w0 = w[0];
+      for (int x = 0; x < dstride; ++x) a[x] = r[x] * w0;
+    }
+    for (int i = 1; i < count; ++i) {
+      const float* __restrict__ r =
+          tmp.data() + static_cast<size_t>(first + i) * dstride;
+      const float wi = w[i];
+      for (int x = 0; x < dstride; ++x) a[x] += r[x] * wi;
+    }
+    unsigned char* __restrict__ out = dst + static_cast<size_t>(y) * dstride;
+    for (int x = 0; x < dstride; ++x) {
+      const int v = static_cast<int>(a[x] + 0.5f);
       out[x] = static_cast<unsigned char>(v < 0 ? 0 : (v > 255 ? 255 : v));
     }
   }
@@ -238,7 +283,7 @@ int yt_decode_resize_batch(void* pool_ptr, const char** paths, int n,
 
   for (int i = 0; i < n; ++i) {
     pool->submit([&, i] {
-      std::vector<unsigned char> pixels;
+      thread_local std::vector<unsigned char> pixels;
       int w = 0, h = 0;
       unsigned char* dst = out + static_cast<size_t>(i) * img_bytes;
       if (decode_jpeg_file(paths[i], pixels, &w, &h)) {

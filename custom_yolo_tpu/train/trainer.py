@@ -19,6 +19,7 @@ Equivalent of the reference ``train()`` (``src/training/train_model.py:
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Any, Dict, Optional
 
 import jax
@@ -31,7 +32,8 @@ from custom_yolo_tpu.core.mesh import MeshSpec, create_mesh
 from custom_yolo_tpu.data.transforms import make_device_batch
 from custom_yolo_tpu.eval.decode import decode_predictions, decoded_to_lists
 from custom_yolo_tpu.eval.metrics import DetectionMetrics
-from custom_yolo_tpu.parallel.sharding import shard_batch, shard_train_state
+from custom_yolo_tpu.parallel.sharding import (
+    activation_spec, shard_batch, shard_train_state)
 from custom_yolo_tpu.train.losses import DetectionLoss, LossConfig
 from custom_yolo_tpu.train.optim import (
     build_optimizer, plateau_update, set_learning_rate)
@@ -58,15 +60,21 @@ class Trainer:
             lambda_box=tcfg.lambda_box,
             lambda_dfl=tcfg.lambda_dfl,
             assigner=tcfg.assigner))
-        self.train_step = make_train_step(
-            model, self.loss_fn, self.tx,
-            accumulate_steps=tcfg.accumulate_steps)
-        self.eval_step = make_eval_step(model, self.loss_fn)
 
         self.mesh = None
         mode = tcfg.sharding.mode
         if mode != "single" and jax.device_count() > 1:
             self.mesh = create_mesh(MeshSpec.for_mode(mode))
+            # pin activations batch-sharded so fsdp param shardings never
+            # leak into the activation layout (GSPMD involuntary remat)
+            if getattr(model, "act_spec", None) is None:
+                model = model.clone(act_spec=activation_spec())
+                self.model = model
+
+        self.train_step = make_train_step(
+            model, self.loss_fn, self.tx,
+            accumulate_steps=tcfg.accumulate_steps)
+        self.eval_step = make_eval_step(model, self.loss_fn)
 
         rng = prng.root_key(config.project.seed)
         # defensive copy: the jitted train step donates state buffers for
@@ -105,6 +113,25 @@ class Trainer:
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
         return batch
+
+    def _device_batches(self, loader, ekey, train: bool):
+        """Yield ``(step, host_batch, device_batch)`` with device staging
+        ahead of consumption (``data.pin_memory``): batch N+1's H2D transfer
+        + on-device augment are *dispatched* (async) while the caller is
+        still blocked on batch N's compute — the TPU analogue of the
+        reference's pinned-memory + prefetch_factor staging
+        (``src/data/data_loader.py:27-37``). Depth 1 (no overlap) when
+        pin_memory is off."""
+        depth = 2 if self.config.data.pin_memory else 1
+        buf: deque = deque()
+        for step, host_batch in enumerate(loader):
+            key = jax.random.fold_in(ekey, step)
+            buf.append((step, host_batch,
+                        self._device_batch(host_batch, key, train)))
+            if len(buf) >= depth:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
 
     # ------------------------------------------------------------------
     def fit(self, train_loader, val_loader,
@@ -196,9 +223,7 @@ class Trainer:
         sums: Dict[str, float] = {}
         count = 0
         pending = None
-        for step, host_batch in enumerate(loader):
-            key = jax.random.fold_in(ekey, step)
-            batch = self._device_batch(host_batch, key, train=True)
+        for step, _, batch in self._device_batches(loader, ekey, train=True):
             self.state, metrics = self.train_step(self.state, batch)
             pending = metrics
             count += 1
@@ -227,9 +252,8 @@ class Trainer:
         det = DetectionMetrics(self.config.model.num_classes)
         sums: Dict[str, float] = {}
         count = 0
-        for step, host_batch in enumerate(loader):
-            key = jax.random.fold_in(ekey, step)
-            batch = self._device_batch(host_batch, key, train=False)
+        for step, host_batch, batch in self._device_batches(loader, ekey,
+                                                            train=False):
             metrics, preds, anchors, strides = self.eval_step(self.state,
                                                               batch)
             for k, v in jax.device_get(metrics).items():

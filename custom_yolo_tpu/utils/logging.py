@@ -61,6 +61,32 @@ class MetricsLogger:
             except Exception:
                 self._wandb = None  # wandb not installed → silent no-op
 
+    def log_summary(self, text: str, name: str = "model_summary") -> None:
+        """Attach the model summary to the tracking run: tensorboard text +
+        a wandb artifact (the reference uploads its torchinfo summary file,
+        ``scripts/distributed_training.py:111-119``)."""
+        if not self.enabled:
+            return
+        if self._tb is not None:
+            try:
+                self._tb.add_text(name, f"```\n{text}\n```")
+            except Exception:
+                pass
+        if self._wandb is not None:
+            try:
+                import tempfile
+
+                import wandb
+                art = wandb.Artifact(name, type="model-summary")
+                with tempfile.NamedTemporaryFile(
+                        "w", suffix=".txt", delete=False) as f:
+                    f.write(text)
+                    path = f.name
+                art.add_file(path, name=f"{name}.txt")
+                self._wandb.log_artifact(art)
+            except Exception:
+                pass
+
     def log(self, metrics: Dict[str, float], step: int) -> None:
         if not self.enabled:
             return

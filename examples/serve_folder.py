@@ -15,7 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--images", required=True, help="folder of JPEGs")
+    p.add_argument("--images", default=None,
+                   help="folder of JPEGs (default: config data.test_images)")
     p.add_argument("--config", default="configs/config.yaml")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batch_size", type=int, default=16)
@@ -31,6 +32,8 @@ def main():
     from custom_yolo_tpu.models.detector import IMAGENET_MEAN, IMAGENET_STD
 
     cfg = Config.from_yaml(args.config)
+    if args.images is None:
+        args.images = cfg.data.test_images  # the reference's test split dir
     det = Detector(cfg.model.width, cfg.model.depth, cfg.model.csp,
                    num_classes=cfg.model.num_classes,
                    precision=cfg.training.sharding.precision,

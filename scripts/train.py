@@ -169,6 +169,11 @@ def main():
             run_name=f"{args.device}_{mode}_"
                      f"{cfg.training.sharding.precision}",
             config_dict=cfg.to_dict())
+        # attach the param-tree summary to the tracking run (the reference
+        # uploads torchinfo output as a wandb artifact,
+        # distributed_training.py:111-119)
+        metrics_logger.log_summary(
+            f"params: {count_params(variables):,}\n{summarize(variables)}")
 
     trainer = Trainer(cfg, model, variables, logger=logger,
                       metrics_logger=metrics_logger,

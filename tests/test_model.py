@@ -142,3 +142,54 @@ def test_detector_save_load_weights(tmp_path):
     det2.load_weights(path)
     got, _, _ = det2(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_s2d_stem_equivalence(tiny_model):
+    """space-to-depth stem (s2d_stem=True + convert_stem_variables) must
+    reproduce the standard stem's forward exactly (the transform is a
+    re-expression of the same linear map, backbone.stem_kernel_to_s2d)."""
+    from custom_yolo_tpu.models.detector import convert_stem_variables
+
+    model, variables = tiny_model
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 3),
+                    jnp.float32)
+    ref, _, _ = model.apply(variables, x, train=False)
+    s2d_model = model.clone(s2d_stem=True)
+    s2d_vars = convert_stem_variables(variables)
+    got, _, _ = s2d_model.apply(s2d_vars, x, train=False)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)  # bf16 resum tolerance
+
+
+def test_s2d_stem_equivalence_fp32_exact(tiny_model):
+    """In fp32 the s2d stem matches to float-roundoff."""
+    from custom_yolo_tpu.core.dtypes import resolve_policy
+    from custom_yolo_tpu.models.detector import convert_stem_variables
+
+    model, variables = tiny_model
+    f32 = model.clone(policy=resolve_policy("float32"))
+    x = jnp.asarray(np.random.RandomState(4).randn(1, 64, 64, 3),
+                    jnp.float32)
+    ref, _, _ = f32.apply(variables, x, train=False)
+    got, _, _ = f32.clone(s2d_stem=True).apply(
+        convert_stem_variables(variables), x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_s2d_stem_composes_with_fuse(tiny_model):
+    """fuse → s2d-convert must equal the plain fused forward."""
+    from custom_yolo_tpu.models.detector import convert_stem_variables
+
+    model, variables = tiny_model
+    fused_vars = fuse_params(variables)
+    fused = model.clone(fused=True)
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 64, 64, 3),
+                    jnp.float32)
+    ref, _, _ = fused.apply(fused_vars, x, train=False)
+    got, _, _ = fused.clone(s2d_stem=True).apply(
+        convert_stem_variables(fused_vars), x, train=False)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
