@@ -48,6 +48,8 @@ def main():
     p.add_argument("--images", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--skip_device", action="store_true",
+                   help="host loader only (no TPU round-trip)")
     args = p.parse_args()
 
     import jax
@@ -68,17 +70,26 @@ def main():
         loader = DataLoader(ds, args.batch_size, shuffle=False,
                             drop_last=True, num_workers=args.workers,
                             use_native=use_native)
-        # warm one pass (page cache)
+        # warm one pass (page cache, pool thread_locals, allocator)
         for _ in loader:
             pass
-        t0 = time.perf_counter()
-        n = 0
+        best = 0.0
         last = None
-        for batch in loader:
-            n += batch["image"].shape[0]
-            last = batch
-        dt = time.perf_counter() - t0
-        results[f"loader_{backend}_img_s"] = round(n / dt, 1)
+        for _ in range(2):  # best-of-2: single-CPU scheduler noise
+            t0 = time.perf_counter()
+            n = 0
+            for batch in loader:
+                n += batch["image"].shape[0]
+                last = batch
+            best = max(best, n / (time.perf_counter() - t0))
+        results[f"loader_{backend}_img_s"] = round(best, 1)
+        print(json.dumps({f"loader_{backend}_img_s": results[
+            f"loader_{backend}_img_s"]}), flush=True)
+
+    if args.skip_device:
+        print(json.dumps({"metric": "input_pipeline_throughput",
+                          "unit": "images/sec", **results}))
+        return
 
     # on-device preprocess
     key = jax.random.key(0)

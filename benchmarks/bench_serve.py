@@ -25,6 +25,12 @@ def main():
                         "of 128 pick the Pallas kernel; 512 halves the "
                         "suppression sweep for light presets)")
     p.add_argument("--merge", action="store_true", help="merge-NMS")
+    p.add_argument("--s2d", action="store_true",
+                   help="space-to-depth stem (exact transform)")
+    p.add_argument("--quant", action="store_true",
+                   help="int8 serving path (ops.quant)")
+    p.add_argument("--c3k_merge", action="store_true",
+                   help="horizontal C3K conv1/conv2 merge (exact)")
     args = p.parse_args()
 
     import jax
@@ -47,6 +53,18 @@ def main():
     variables = fuse_params(raw.init(
         jax.random.key(0), jnp.zeros((1, 640, 640, 3),
                                      policy.compute_dtype), train=False))
+    if args.s2d:
+        from custom_yolo_tpu.models.detector import convert_stem_variables
+        model = model.clone(s2d_stem=True)
+        variables = convert_stem_variables(variables)
+    if args.c3k_merge:
+        from custom_yolo_tpu.models.detector import merge_c3k_params
+        model = model.clone(merged=True)
+        variables = {"params": merge_c3k_params(variables["params"])}
+    if args.quant:
+        from custom_yolo_tpu.ops.quant import quantize_fused_params
+        model = model.clone(quantized=True)
+        variables = {"params": quantize_fused_params(variables["params"])}
 
     b, iters = args.batch_size, args.iters
 

@@ -63,6 +63,12 @@ def main():
                     help="unfused train-mode forward instead of fused")
     ap.add_argument("--stages", action="store_true",
                     help="also time every backbone stage individually")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem (exact transform)")
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 serving path")
+    ap.add_argument("--merge", action="store_true",
+                    help="horizontal C3K conv1/conv2 merge (exact)")
     args = ap.parse_args()
 
     from custom_yolo_tpu.core.dtypes import resolve_policy
@@ -84,6 +90,20 @@ def main():
     if fused:
         variables = fuse_params(variables)
     model = model.clone(fused=fused)
+    if args.s2d:
+        from custom_yolo_tpu.models.detector import convert_stem_variables
+        model = model.clone(s2d_stem=True)
+        variables = convert_stem_variables(variables)
+    if args.merge:
+        from custom_yolo_tpu.models.detector import merge_c3k_params
+        assert fused, "--merge requires the fused path"
+        model = model.clone(merged=True)
+        variables = {"params": merge_c3k_params(variables["params"])}
+    if args.quant:
+        from custom_yolo_tpu.ops.quant import quantize_fused_params
+        assert fused, "--quant requires the fused path"
+        model = model.clone(quantized=True)
+        variables = {"params": quantize_fused_params(variables["params"])}
 
     rng = np.random.RandomState(0)
     xb = jnp.asarray(rng.rand(B, 640, 640, 3), policy.compute_dtype)
@@ -96,7 +116,8 @@ def main():
     print(json.dumps({"stage": "total_forward", "ms": round(total * 1e3, 2),
                       "img_s": round(B / total, 1)}), flush=True)
 
-    bb = Backbone(policy=policy, fused=fused, **kw)
+    bb = Backbone(policy=policy, fused=fused, s2d_stem=args.s2d,
+                  quantized=args.quant, merged=args.merge, **kw)
     bpar = {"params": variables["params"]["net"]}
     if not fused:
         bpar["batch_stats"] = variables["batch_stats"]["net"]
@@ -110,7 +131,8 @@ def main():
           flush=True)
 
     neck = Neck(width=tuple(p["width"]), depth=tuple(p["depth"]),
-                csp=tuple(p["csp"]), policy=policy, fused=fused)
+                csp=tuple(p["csp"]), policy=policy, fused=fused,
+                quantized=args.quant, merged=args.merge)
     npar = {"params": variables["params"]["fpn"]}
     if not fused:
         npar["batch_stats"] = variables["batch_stats"]["fpn"]
@@ -123,7 +145,7 @@ def main():
         npar, (p3, p4, p5))
     w = p["width"]
     head = Head(num_classes=172, filters=(w[3], w[4], w[5]), policy=policy,
-                fused=fused)
+                fused=fused, quantized=args.quant)
     hpar = {"params": variables["params"]["head"]}
     if not fused:
         hpar["batch_stats"] = variables["batch_stats"]["head"]
@@ -152,22 +174,29 @@ def main():
               flush=True)
         return out
 
-    bkw = dict(policy=policy, fused=fused)
+    bkw = dict(policy=policy, fused=fused, quantized=args.quant)
+    ckw2 = dict(bkw, merged=args.merge)
     cur = xb
-    cur = sub(ConvBN(w[1], kernel_size=3, strides=2, padding=1, **bkw),
-              "p1_conv", cur)
+    if args.s2d:
+        from custom_yolo_tpu.models.backbone import space_to_depth
+        cur = space_to_depth(cur, 2)
+        cur = sub(ConvBN(w[1], kernel_size=2, strides=1,
+                         padding=((1, 0), (1, 0)), **bkw), "p1_conv", cur)
+    else:
+        cur = sub(ConvBN(w[1], kernel_size=3, strides=2, padding=1, **bkw),
+                  "p1_conv", cur)
     cur = sub(ConvBN(w[2], kernel_size=3, strides=2, padding=1, **bkw),
               "p2_conv", cur)
-    cur = sub(C3K2(w[3], d[0], c[0], r=4, **bkw), "p2_csp", cur)
+    cur = sub(C3K2(w[3], d[0], c[0], r=4, **ckw2), "p2_csp", cur)
     cur = sub(ConvBN(w[3], kernel_size=3, strides=2, padding=1, **bkw),
               "p3_conv", cur)
-    cur = sub(C3K2(w[4], d[1], c[0], r=4, **bkw), "p3_csp", cur)
+    cur = sub(C3K2(w[4], d[1], c[0], r=4, **ckw2), "p3_csp", cur)
     cur = sub(ConvBN(w[4], kernel_size=3, strides=2, padding=1, **bkw),
               "p4_conv", cur)
-    cur = sub(C3K2(w[4], d[2], c[1], r=2, **bkw), "p4_csp", cur)
+    cur = sub(C3K2(w[4], d[2], c[1], r=2, **ckw2), "p4_csp", cur)
     cur = sub(ConvBN(w[5], kernel_size=3, strides=2, padding=1, **bkw),
               "p5_conv", cur)
-    cur = sub(C3K2(w[5], d[3], c[1], r=2, **bkw), "p5_csp", cur)
+    cur = sub(C3K2(w[5], d[3], c[1], r=2, **ckw2), "p5_csp", cur)
     cur = sub(SPPF(w[5], **bkw), "p5_sppf", cur)
     cur = sub(PSA(d[4], **bkw), "p5_psa", cur)
 

@@ -67,13 +67,18 @@ class Backbone(nn.Module):
     # mathematically identical outputs (see stem_kernel_to_s2d)
     s2d_stem: bool = False
     fused: bool = False
+    quantized: bool = False
+    # horizontal C3K conv1/conv2 merge (exact; serving) — see nn.blocks.C3K
+    merged: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         w, d, c = self.width, self.depth, self.csp
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
+        ckw = dict(kw, merged=self.merged)
 
         def down(feat, features, name):
             return ConvBN(features, kernel_size=3, strides=2, padding=1,
@@ -88,16 +93,16 @@ class Backbone(nn.Module):
             p1 = down(x, w[1], "p1_conv")
         # p2/4
         p2 = down(p1, w[2], "p2_conv")
-        p2 = C3K2(w[3], d[0], c[0], r=4, name="p2_csp", **kw)(p2, train)
+        p2 = C3K2(w[3], d[0], c[0], r=4, name="p2_csp", **ckw)(p2, train)
         # p3/8
         p3 = down(p2, w[3], "p3_conv")
-        p3 = C3K2(w[4], d[1], c[0], r=4, name="p3_csp", **kw)(p3, train)
+        p3 = C3K2(w[4], d[1], c[0], r=4, name="p3_csp", **ckw)(p3, train)
         # p4/16
         p4 = down(p3, w[4], "p4_conv")
-        p4 = C3K2(w[4], d[2], c[1], r=2, name="p4_csp", **kw)(p4, train)
+        p4 = C3K2(w[4], d[2], c[1], r=2, name="p4_csp", **ckw)(p4, train)
         # p5/32
         p5 = down(p4, w[5], "p5_conv")
-        p5 = C3K2(w[5], d[3], c[1], r=2, name="p5_csp", **kw)(p5, train)
+        p5 = C3K2(w[5], d[3], c[1], r=2, name="p5_csp", **ckw)(p5, train)
         p5 = SPPF(w[5], name="p5_sppf", **kw)(p5, train)
         p5 = PSA(d[4], name="p5_psa", **kw)(p5, train)
         return p3, p4, p5

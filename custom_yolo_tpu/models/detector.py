@@ -56,20 +56,28 @@ class YoloModel(nn.Module):
     # MXU-efficient stem: space-to-depth + equivalent 2×2 conv (exact
     # transform of the reference stem — see backbone.stem_kernel_to_s2d)
     s2d_stem: bool = False
+    # int8 serving (requires fused=True): params from
+    # ops.quant.quantize_fused_params; v5e int8 MXU is 2× bf16
+    quantized: bool = False
+    # horizontal C3K conv1/conv2 merge (exact, serving): params from
+    # merge_c3k_params — see nn.blocks.C3K
+    merged: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
         backbone_cls, neck_cls = Backbone, Neck
         if self.remat:
             backbone_cls = nn.remat(Backbone, static_argnums=(2,))
             neck_cls = nn.remat(Neck, static_argnums=(2,))
         x = x.astype(self.policy.compute_dtype)
         feats = backbone_cls(self.width, self.depth, self.csp, name="net",
-                             s2d_stem=self.s2d_stem, **kw)(x, train)
+                             s2d_stem=self.s2d_stem, merged=self.merged,
+                             **kw)(x, train)
         feats = neck_cls(self.width, self.depth, self.csp, name="fpn",
-                         **kw)(feats, train)
+                         merged=self.merged, **kw)(feats, train)
         preds, anchors, strides = Head(
             self.num_classes,
             (self.width[3], self.width[4], self.width[5]),
@@ -142,6 +150,46 @@ def convert_stem_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
 
     return convert(unfreeze(variables) if hasattr(variables, "unfreeze")
                    else dict(variables))
+
+
+def merge_c3k_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fused (optionally quantized) param tree → tree for ``merged=True``
+    modules: every C3K's ``conv1``/``conv2`` (two convs reading the SAME
+    input, each emitting out_ch/2 channels — nn/blocks.py C3K) become one
+    ``conv12`` with kernels/biases/scales concatenated along the output-
+    channel axis. Exact: per-output-channel conv(+BN-fold)(+int8 scale) math
+    is independent, so concatenation changes nothing but the matmul width.
+
+    C3K2 also owns ``conv1``/``conv2`` but has ``m{i}`` children instead of
+    ``res0`` — the ``res0`` key is the C3K discriminator."""
+    def is_c3k(node):
+        return (isinstance(node, dict) and "conv1" in node
+                and "conv2" in node and "res0" in node)
+
+    def merge_leaf(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, Any]:
+        return {k: jnp.concatenate([a[k], b[k]], axis=-1) for k in a}
+
+    def walk(tree):
+        out = {}
+        for key, value in tree.items():
+            if not isinstance(value, dict):
+                out[key] = value
+                continue
+            if is_c3k(value):
+                node = {k: walk(v) if isinstance(v, dict) else v
+                        for k, v in value.items()
+                        if k not in ("conv1", "conv2")}
+                assert "bn" not in value["conv1"], \
+                    "merge_c3k_params expects a fused tree (fuse first)"
+                node["conv12"] = {"conv": merge_leaf(value["conv1"]["conv"],
+                                                     value["conv2"]["conv"])}
+                out[key] = node
+            else:
+                out[key] = walk(value)
+        return out
+
+    return walk(unfreeze(params) if hasattr(params, "unfreeze")
+                else dict(params))
 
 
 def preprocess_image(image, input_size: Tuple[int, int] = (640, 640),
@@ -241,6 +289,7 @@ class Detector:
         self.input_size = tuple(input_size)
         self.variables: Optional[Dict[str, Any]] = None
         self._fused = False
+        self._tpu_optimized = False
         self._serve_cache: Dict = {}
 
         self._apply_eval = jax.jit(
@@ -296,21 +345,52 @@ class Detector:
             return self
         self.variables = fuse_params(self.variables)
         self.module = self.module.clone(fused=True)
+        self._fused = True
+        if self._tpu_optimized and not self.module.merged:
+            self.variables = {"params": merge_c3k_params(
+                self.variables["params"])}
+            self.module = self.module.clone(merged=True)
         self._apply_eval = jax.jit(
             lambda v, x: self.module.apply(v, x, train=False))
         self._serve_cache.clear()
-        self._fused = True
+        return self
+
+    def quantize(self, stochastic: bool = False) -> "Detector":
+        """Switch to int8 serving: fuse (if needed), quantize every ConvBN
+        kernel per-output-channel to int8 (head logit projections stay
+        bf16), and swap in the ``quantized=True`` module. v5e int8 MXU runs
+        at 2× the bf16 rate; expect <1pt mAP@50 delta (test-verified on the
+        fixture)."""
+        assert self.variables is not None, "call .init() or load weights"
+        if self.module.quantized:
+            return self
+        if not self._fused:
+            self.fuse()
+        from custom_yolo_tpu.ops.quant import quantize_fused_params
+        self.variables = {"params": quantize_fused_params(
+            self.variables["params"], stochastic=stochastic)}
+        self.module = self.module.clone(quantized=True)
+        self._apply_eval = jax.jit(
+            lambda v, x: self.module.apply(v, x, train=False))
+        self._serve_cache.clear()
         return self
 
     def optimize_for_tpu(self) -> "Detector":
-        """Switch to the MXU-efficient space-to-depth stem. Exactly
-        output-preserving (the p1 kernel is re-expressed, not retrained);
-        composes with :meth:`fuse` in either order."""
-        if self.module.s2d_stem:
-            return self
-        if self.variables is not None:
-            self.variables = convert_stem_variables(self.variables)
-        self.module = self.module.clone(s2d_stem=True)
+        """Apply the exactly output-preserving TPU serving optimizations:
+        the space-to-depth stem (p1 kernel re-expressed, not retrained) and
+        — once fused — the horizontal C3K conv1/conv2 merge
+        (:func:`merge_c3k_params`). Composes with :meth:`fuse` in either
+        order; the merge is applied lazily by :meth:`fuse` when this ran
+        first."""
+        if not self.module.s2d_stem:
+            if self.variables is not None:
+                self.variables = convert_stem_variables(self.variables)
+            self.module = self.module.clone(s2d_stem=True)
+        if self._fused and not self.module.merged:
+            self.variables = {"params": merge_c3k_params(
+                self.variables["params"])}
+            self.module = self.module.clone(merged=True)
+        self._tpu_optimized = True
         self._apply_eval = jax.jit(
             lambda v, x: self.module.apply(v, x, train=False))
         self._serve_cache.clear()

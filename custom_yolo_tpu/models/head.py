@@ -40,6 +40,7 @@ class Head(nn.Module):
     bn_axis_name: Optional[str] = None
     act_spec: Optional[Any] = None
     fused: bool = False
+    quantized: bool = False
 
     @property
     def no(self) -> int:
@@ -52,7 +53,8 @@ class Head(nn.Module):
         box_ch = max(64, self.filters[0] // 4)
         cls_ch = max(80, self.filters[0], nc)
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
         cls_bias = math.log(PRIOR_PROB / (1 - PRIOR_PROB))
 
         outs: List[jax.Array] = []

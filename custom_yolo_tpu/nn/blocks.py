@@ -30,6 +30,37 @@ BN_EPS = 1e-3
 BN_MOMENTUM = 0.97
 
 
+class _QuantConv(nn.Module):
+    """int8 conv leaf for the quantized serving path: reads the
+    {kernel int8, scale, bias} tree written by
+    :func:`custom_yolo_tpu.ops.quant.quantize_fused_params` and runs the
+    dynamic-activation int8 conv (``ops.quant.int8_conv``, act applied by
+    the parent ConvBN)."""
+
+    features: int
+    kernel_size: int
+    strides: int
+    padding: Any
+    groups: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from custom_yolo_tpu.ops.quant import int8_conv
+
+        k = self.kernel_size
+        cin = x.shape[-1] // self.groups
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (k, k, cin, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return int8_conv(x, kernel, scale, bias,
+                         strides=(self.strides, self.strides),
+                         padding=tuple(self.padding), groups=self.groups,
+                         act=False)
+
+
 class ConvBN(nn.Module):
     """Conv2d(bias=False) + BatchNorm + activation — the universal unit
     (reference ``Conv``, model_blocks.py:4-37).
@@ -53,22 +84,31 @@ class ConvBN(nn.Module):
     act_spec: Optional[Any] = None
 
     fused: bool = False
+    # int8 serving path (requires fused=True): conv params are
+    # {kernel int8, scale fp32, bias fp32} from ops.quant.
+    # quantize_fused_params; the MXU contracts int8×int8→int32 at 2× the
+    # bf16 rate on v5e
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         k, p = self.kernel_size, self.padding
         pad = ((p, p), (p, p)) if isinstance(p, int) else tuple(p)
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=(k, k),
-            strides=(self.strides, self.strides),
-            padding=pad,
-            feature_group_count=self.groups,
-            use_bias=self.fused,
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-            name="conv",
-        )(x)
+        if self.fused and self.quantized:
+            x = _QuantConv(self.features, k, self.strides, pad, self.groups,
+                           name="conv")(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=(k, k),
+                strides=(self.strides, self.strides),
+                padding=pad,
+                feature_group_count=self.groups,
+                use_bias=self.fused,
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+                name="conv",
+            )(x)
         if not self.fused:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -96,12 +136,14 @@ class Residual(nn.Module):
     bn_axis_name: Optional[str] = None
     act_spec: Optional[Any] = None
     fused: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         mid = int(self.ch * self.e)
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
         y = ConvBN(mid, kernel_size=3, padding=1, name="conv1", **kw)(x, train)
         y = ConvBN(self.ch, kernel_size=3, padding=1, name="conv2", **kw)(y, train)
         return x + y
@@ -109,23 +151,38 @@ class Residual(nn.Module):
 
 class C3K(nn.Module):
     """CSP sub-block: split conv1/conv2, 2×Residual(e=1.0) on one branch,
-    concat → conv3 (reference ``C3K``, model_blocks.py:64-92)."""
+    concat → conv3 (reference ``C3K``, model_blocks.py:64-92).
+
+    ``merged=True`` (serving): conv1 and conv2 both read the same input and
+    each emit ``half`` channels — per-output-channel math is independent, so
+    they run as ONE 2·half-wide conv (``conv12``) and split. Exactly
+    output-preserving; doubles MXU lane utilization for the pair (half <
+    128 lanes on every preset) and reads the input tensor from HBM once
+    instead of twice. Params come from ``models.detector.merge_c3k_params``.
+    """
 
     out_ch: int
     policy: DTypePolicy = DTypePolicy()
     bn_axis_name: Optional[str] = None
     act_spec: Optional[Any] = None
     fused: bool = False
+    quantized: bool = False
+    merged: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         half = self.out_ch // 2
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
-        y = ConvBN(half, name="conv1", **kw)(x, train)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
+        if self.merged:
+            yz = ConvBN(2 * half, name="conv12", **kw)(x, train)
+            y, z = jnp.split(yz, 2, axis=-1)
+        else:
+            y = ConvBN(half, name="conv1", **kw)(x, train)
+            z = ConvBN(half, name="conv2", **kw)(x, train)
         y = Residual(half, e=1.0, name="res0", **kw)(y, train)
         y = Residual(half, e=1.0, name="res1", **kw)(y, train)
-        z = ConvBN(half, name="conv2", **kw)(x, train)
         out = jnp.concatenate([y, z], axis=-1)
         return ConvBN(self.out_ch, name="conv3", **kw)(out, train)
 
@@ -143,17 +200,20 @@ class C3K2(nn.Module):
     bn_axis_name: Optional[str] = None
     act_spec: Optional[Any] = None
     fused: bool = False
+    quantized: bool = False
+    merged: bool = False  # horizontal conv1/conv2 merge in the C3K children
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         hidden = self.out_ch // self.r
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
         y = ConvBN(2 * hidden, name="conv1", **kw)(x, train)
         parts = list(jnp.split(y, 2, axis=-1))
         for i in range(self.n):
             if self.csp:
-                blk = C3K(hidden, name=f"m{i}", **kw)
+                blk = C3K(hidden, name=f"m{i}", merged=self.merged, **kw)
             else:
                 blk = Residual(hidden, e=0.5, name=f"m{i}", **kw)
             parts.append(blk(parts[-1], train))
@@ -184,12 +244,14 @@ class SPPF(nn.Module):
     bn_axis_name: Optional[str] = None
     act_spec: Optional[Any] = None
     fused: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c_in = x.shape[-1]
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
         x = ConvBN(c_in // 2, name="cv1", **kw)(x, train)
         y1 = _maxpool_same(x, self.k)
         y2 = _maxpool_same(y1, self.k)
@@ -212,6 +274,7 @@ class Attention(nn.Module):
     bn_axis_name: Optional[str] = None
     act_spec: Optional[Any] = None
     fused: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -221,7 +284,8 @@ class Attention(nn.Module):
         dim_key = dim_head // 2
         scale = dim_key ** -0.5
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
 
         qkv = ConvBN(c + dim_key * nh * 2, act=None, name="qkv", **kw)(x, train)
         # (b, h*w, nh, 2*dim_key + dim_head) — tokens in sublanes, head dims
@@ -253,12 +317,14 @@ class PSABlock(nn.Module):
     bn_axis_name: Optional[str] = None
     act_spec: Optional[Any] = None
     fused: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c = x.shape[-1]
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
         x = x + Attention(self.num_head, name="attn", **kw)(x, train)
         y = ConvBN(c * 2, name="ffn1", **kw)(x, train)
         y = ConvBN(c, act=None, name="ffn2", **kw)(y, train)
@@ -274,12 +340,14 @@ class PSA(nn.Module):
     bn_axis_name: Optional[str] = None
     act_spec: Optional[Any] = None
     fused: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c = x.shape[-1]
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused)
+                  act_spec=self.act_spec, fused=self.fused,
+                  quantized=self.quantized)
         y = ConvBN(2 * (c // 2), name="conv1", **kw)(x, train)
         a, b = jnp.split(y, 2, axis=-1)
         num_head = max(1, (c // 2) // 64)  # == reference ch//128 heads on c/2

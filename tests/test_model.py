@@ -193,3 +193,81 @@ def test_s2d_stem_composes_with_fuse(tiny_model):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_c3k_merge_equivalence_fp32_exact(tiny_model):
+    """merged=True + merge_c3k_params must be bit-identical math: conv1 and
+    conv2 of every C3K read the same input and own disjoint output channels,
+    so the horizontal concat is the same set of contractions."""
+    from custom_yolo_tpu.core.dtypes import resolve_policy
+    from custom_yolo_tpu.models.detector import merge_c3k_params
+
+    model, variables = tiny_model
+    f32 = model.clone(policy=resolve_policy("float32"), fused=True)
+    fused_vars = fuse_params(variables)
+    x = jnp.asarray(np.random.RandomState(6).randn(2, 64, 64, 3),
+                    jnp.float32)
+    ref, _, _ = f32.apply(fused_vars, x, train=False)
+    merged_vars = {"params": merge_c3k_params(fused_vars["params"])}
+    got, _, _ = f32.clone(merged=True).apply(merged_vars, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_c3k_merge_renames_exactly_the_c3k_convs(tiny_model):
+    """Only C3K conv1/conv2 pairs merge (C3K2's same-named convs — which are
+    NOT same-input — must survive untouched)."""
+    from custom_yolo_tpu.models.detector import merge_c3k_params
+
+    model, variables = tiny_model
+    fused = fuse_params(variables)["params"]
+    merged = merge_c3k_params(fused)
+    # csp=(False, True): C3K at p4_csp/p5_csp/h6 m-blocks only
+    for stage in ("p4_csp", "p5_csp"):
+        node = merged["net"][stage]["m0"]
+        assert "conv12" in node and "conv1" not in node
+        half = fused["net"][stage]["m0"]["conv1"]["conv"]["kernel"].shape[-1]
+        assert node["conv12"]["conv"]["kernel"].shape[-1] == 2 * half
+        # C3K2's own split conv1 / concat conv2 stay
+        assert "conv1" in merged["net"][stage]
+        assert "conv2" in merged["net"][stage]
+    assert "conv12" in merged["fpn"]["h6"]["m0"]
+    # no-C3K stages unchanged
+    assert "conv12" not in str(list(merged["net"]["p2_csp"].keys()))
+
+
+def test_c3k_merge_composes_with_quantize(tiny_model):
+    """fuse → merge → int8-quantize runs and stays close to fused bf16."""
+    from custom_yolo_tpu.models.detector import merge_c3k_params
+    from custom_yolo_tpu.ops.quant import quantize_fused_params
+
+    model, variables = tiny_model
+    fused_vars = fuse_params(variables)
+    x = jnp.asarray(np.random.RandomState(7).rand(1, 64, 64, 3), jnp.float32)
+    ref, _, _ = model.clone(fused=True).apply(fused_vars, x, train=False)
+    qmerged = quantize_fused_params(merge_c3k_params(fused_vars["params"]))
+    got, _, _ = model.clone(fused=True, merged=True, quantized=True).apply(
+        {"params": qmerged}, x, train=False)
+    r = np.asarray(ref, np.float32).ravel()
+    g = np.asarray(got, np.float32).ravel()
+    assert np.corrcoef(r, g)[0, 1] > 0.99
+
+
+def test_detector_optimize_for_tpu_full_stack(tiny_model):
+    """Detector.fuse().optimize_for_tpu(): s2d stem + C3K merge, same
+    detections as the plain fused path."""
+    from custom_yolo_tpu.models import Detector
+
+    det = Detector([3, 8, 16, 32, 64, 64], [1, 1, 1, 1, 1, 1],
+                   [False, True], num_classes=7, precision="float32",
+                   input_size=(64, 64))
+    det.init(seed=0)
+    x = jnp.asarray(np.random.RandomState(8).rand(2, 64, 64, 3), jnp.float32)
+    ref = det.serve(x, conf_thres=0.0, max_det=8)
+    det.fuse().optimize_for_tpu()
+    assert det.module.merged and det.module.s2d_stem
+    got = det.serve(x, conf_thres=0.0, max_det=8)
+    np.testing.assert_allclose(np.asarray(got.boxes),
+                               np.asarray(ref.boxes), atol=1e-3, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(got.classes),
+                                  np.asarray(ref.classes))
