@@ -28,8 +28,10 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NORTH_STAR_IMG_S = 2000.0
-BATCH = 64
-ITERS = 12
+# B=128 is the measured throughput sweet spot on v5e (B=64: 523 img/s,
+# B=128: 603, B=256: 615 — docs/PERF.md); 128 keeps compile+memory sane.
+BATCH = 128
+ITERS = 8
 
 
 def main():

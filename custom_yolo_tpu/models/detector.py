@@ -161,10 +161,17 @@ def merge_c3k_params(params: Dict[str, Any]) -> Dict[str, Any]:
     is independent, so concatenation changes nothing but the matmul width.
 
     C3K2 also owns ``conv1``/``conv2`` but has ``m{i}`` children instead of
-    ``res0`` — the ``res0`` key is the C3K discriminator."""
+    ``res0`` — the ``res0`` key is the C3K discriminator. Mirrors the
+    module's ``MERGE_MIN_HALF`` self-gate: narrow C3Ks (half < 64) keep
+    their separate convs (the merged split is a measured pessimization
+    there — see nn/blocks.py)."""
+    from custom_yolo_tpu.nn.blocks import MERGE_MIN_HALF
+
     def is_c3k(node):
         return (isinstance(node, dict) and "conv1" in node
-                and "conv2" in node and "res0" in node)
+                and "conv2" in node and "res0" in node
+                and node["conv1"]["conv"]["kernel"].shape[-1]
+                >= MERGE_MIN_HALF)
 
     def merge_leaf(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, Any]:
         return {k: jnp.concatenate([a[k], b[k]], axis=-1) for k in a}
@@ -358,9 +365,11 @@ class Detector:
     def quantize(self, stochastic: bool = False) -> "Detector":
         """Switch to int8 serving: fuse (if needed), quantize every ConvBN
         kernel per-output-channel to int8 (head logit projections stay
-        bf16), and swap in the ``quantized=True`` module. v5e int8 MXU runs
-        at 2× the bf16 rate; expect <1pt mAP@50 delta (test-verified on the
-        fixture)."""
+        bf16), and swap in the ``quantized=True`` module. Quality: <1pt
+        mAP@50 delta (test-verified on the fixture). Throughput: measured
+        SLOWER than bf16 at batch sizes ≥64 on v5e via XLA (docs/PERF.md)
+        — use for weight-HBM-bound regimes (small-batch latency, weight
+        storage halving), not batch throughput."""
         assert self.variables is not None, "call .init() or load weights"
         if self.module.quantized:
             return self

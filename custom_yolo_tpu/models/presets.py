@@ -17,4 +17,13 @@ PRESETS = {
     # the active reference configuration (config.yaml:53)
     "x": {"csp": [True, True], "depth": [2, 2, 2, 2, 2, 2],
           "width": [3, 96, 192, 384, 768, 768]},
+    # OPT-IN, NON-PARITY: the flagship re-proportioned for the TPU MXU.
+    # 'x' runs its p2/p3 CSP stages through 48/96-channel convs — at most
+    # 48 of the MXU's 128 output lanes do work (measured ~38% MXU there,
+    # docs/PERF.md). x-tpu pads the early widths to 128-multiples so every
+    # hot conv fills the lanes; ~15% more params/FLOPs but a higher
+    # throughput ceiling. Requires retraining — NOT weight-compatible
+    # with 'x' (use for new training runs targeting TPU serving).
+    "x-tpu": {"csp": [True, True], "depth": [2, 2, 2, 2, 2, 2],
+              "width": [3, 128, 256, 512, 768, 768]},
 }

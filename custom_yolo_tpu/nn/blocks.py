@@ -29,6 +29,12 @@ from custom_yolo_tpu.core.dtypes import DTypePolicy
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.97
 
+# C3K horizontal merge self-gate: below this half-width the merged split's
+# lane-offset slice triggers a pathological XLA relayout that outweighs the
+# merge win (measured: half=48 at 160² doubles the stage time; half>=96
+# halves it). See C3K docstring.
+MERGE_MIN_HALF = 64
+
 
 class _QuantConv(nn.Module):
     """int8 conv leaf for the quantized serving path: reads the
@@ -159,6 +165,13 @@ class C3K(nn.Module):
     output-preserving; doubles MXU lane utilization for the pair (half <
     128 lanes on every preset) and reads the input tensor from HBM once
     instead of twice. Params come from ``models.detector.merge_c3k_params``.
+
+    Measured on v5e (x preset, B=64, 640²): the merge roughly HALVES the
+    p3/p4/p5 CSP stage times, but at half=48 (the flagship's p2) the
+    lane-offset-48 split sends XLA down a pathological relayout path
+    (p2_csp 38→74 ms) — so the merge self-gates to ``half >= 64``
+    (MERGE_MIN_HALF); :func:`~custom_yolo_tpu.models.detector.
+    merge_c3k_params` applies the same gate to the param tree.
     """
 
     out_ch: int
@@ -175,7 +188,7 @@ class C3K(nn.Module):
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
                   act_spec=self.act_spec, fused=self.fused,
                   quantized=self.quantized)
-        if self.merged:
+        if self.merged and half >= MERGE_MIN_HALF:
             yz = ConvBN(2 * half, name="conv12", **kw)(x, train)
             y, z = jnp.split(yz, 2, axis=-1)
         else:

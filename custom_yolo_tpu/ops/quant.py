@@ -19,6 +19,13 @@ quantized serving mode is a first-class TPU capability:
 
 Head final 1×1 projections (box/cls logits) are left in bf16 — they are
 <2% of FLOPs and logit precision controls detection quality.
+
+MEASURED (v5e, x preset, B=64, docs/PERF.md): the dynamic-quant conv path
+is 2× SLOWER than bf16 for batch throughput — XLA does not lower
+``s8×s8→s32`` convs onto the MXU's fast int8 path and the per-conv
+quant/dequant round-trips triple activation HBM traffic. Use this path
+for weight-HBM-bound regimes (small-batch latency serving, weight
+storage/transfer halving), not for batch throughput.
 """
 
 from __future__ import annotations

@@ -195,16 +195,30 @@ def test_s2d_stem_composes_with_fuse(tiny_model):
                                atol=5e-2, rtol=5e-2)
 
 
-def test_c3k_merge_equivalence_fp32_exact(tiny_model):
+WIDE = dict(width=(3, 16, 32, 64, 256, 256), depth=(1, 1, 1, 1, 1, 1),
+            csp=(False, True))  # p4/p5/h6 C3Ks at half=64 = MERGE_MIN_HALF
+
+
+def _wide_model():
+    """Smallest model whose C3Ks cross the MERGE_MIN_HALF gate."""
+    from custom_yolo_tpu.core.dtypes import resolve_policy
+
+    model = YoloModel(num_classes=7, policy=resolve_policy("float32"),
+                      **WIDE)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    return model, variables
+
+
+def test_c3k_merge_equivalence_fp32_exact():
     """merged=True + merge_c3k_params must be bit-identical math: conv1 and
     conv2 of every C3K read the same input and own disjoint output channels,
     so the horizontal concat is the same set of contractions."""
-    from custom_yolo_tpu.core.dtypes import resolve_policy
     from custom_yolo_tpu.models.detector import merge_c3k_params
 
-    model, variables = tiny_model
-    f32 = model.clone(policy=resolve_policy("float32"), fused=True)
+    model, variables = _wide_model()
     fused_vars = fuse_params(variables)
+    f32 = model.clone(fused=True)
     x = jnp.asarray(np.random.RandomState(6).randn(2, 64, 64, 3),
                     jnp.float32)
     ref, _, _ = f32.apply(fused_vars, x, train=False)
@@ -214,34 +228,40 @@ def test_c3k_merge_equivalence_fp32_exact(tiny_model):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_c3k_merge_renames_exactly_the_c3k_convs(tiny_model):
-    """Only C3K conv1/conv2 pairs merge (C3K2's same-named convs — which are
-    NOT same-input — must survive untouched)."""
+def test_c3k_merge_respects_min_half_gate():
+    """C3Ks below MERGE_MIN_HALF keep separate convs (measured
+    pessimization on v5e at half=48); wide C3Ks merge; C3K2's same-named
+    convs (NOT same-input) survive untouched."""
     from custom_yolo_tpu.models.detector import merge_c3k_params
 
-    model, variables = tiny_model
+    model, variables = _wide_model()
     fused = fuse_params(variables)["params"]
     merged = merge_c3k_params(fused)
-    # csp=(False, True): C3K at p4_csp/p5_csp/h6 m-blocks only
-    for stage in ("p4_csp", "p5_csp"):
+    for stage in ("p4_csp", "p5_csp"):          # half = 64: merged
         node = merged["net"][stage]["m0"]
         assert "conv12" in node and "conv1" not in node
         half = fused["net"][stage]["m0"]["conv1"]["conv"]["kernel"].shape[-1]
         assert node["conv12"]["conv"]["kernel"].shape[-1] == 2 * half
-        # C3K2's own split conv1 / concat conv2 stay
-        assert "conv1" in merged["net"][stage]
+        assert "conv1" in merged["net"][stage]  # C3K2 own convs stay
         assert "conv2" in merged["net"][stage]
     assert "conv12" in merged["fpn"]["h6"]["m0"]
-    # no-C3K stages unchanged
-    assert "conv12" not in str(list(merged["net"]["p2_csp"].keys()))
+
+    # below the gate: tiny preset C3Ks (half=16) must NOT merge
+    tiny = YoloModel(width=(3, 8, 16, 32, 64, 64), depth=(1,) * 6,
+                     csp=(False, True), num_classes=7)
+    tvars = tiny.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                      train=False)
+    tmerged = merge_c3k_params(fuse_params(tvars)["params"])
+    assert "conv1" in tmerged["net"]["p4_csp"]["m0"]
+    assert "conv12" not in tmerged["net"]["p4_csp"]["m0"]
 
 
-def test_c3k_merge_composes_with_quantize(tiny_model):
-    """fuse → merge → int8-quantize runs and stays close to fused bf16."""
+def test_c3k_merge_composes_with_quantize():
+    """fuse → merge → int8-quantize runs and stays close to fused fp32."""
     from custom_yolo_tpu.models.detector import merge_c3k_params
     from custom_yolo_tpu.ops.quant import quantize_fused_params
 
-    model, variables = tiny_model
+    model, variables = _wide_model()
     fused_vars = fuse_params(variables)
     x = jnp.asarray(np.random.RandomState(7).rand(1, 64, 64, 3), jnp.float32)
     ref, _, _ = model.clone(fused=True).apply(fused_vars, x, train=False)
@@ -253,14 +273,13 @@ def test_c3k_merge_composes_with_quantize(tiny_model):
     assert np.corrcoef(r, g)[0, 1] > 0.99
 
 
-def test_detector_optimize_for_tpu_full_stack(tiny_model):
+def test_detector_optimize_for_tpu_full_stack():
     """Detector.fuse().optimize_for_tpu(): s2d stem + C3K merge, same
     detections as the plain fused path."""
     from custom_yolo_tpu.models import Detector
 
-    det = Detector([3, 8, 16, 32, 64, 64], [1, 1, 1, 1, 1, 1],
-                   [False, True], num_classes=7, precision="float32",
-                   input_size=(64, 64))
+    det = Detector(WIDE["width"], WIDE["depth"], WIDE["csp"],
+                   num_classes=7, precision="float32", input_size=(64, 64))
     det.init(seed=0)
     x = jnp.asarray(np.random.RandomState(8).rand(2, 64, 64, 3), jnp.float32)
     ref = det.serve(x, conf_thres=0.0, max_det=8)
