@@ -76,14 +76,26 @@ def main():
         train=False)
 
     ckpt_dir = args.checkpoint or cfg.checkpoint.checkpoint_dir
+    # accept a specific model_epoch_N dir too (common foot-gun: the manager
+    # scans a PARENT dir; silently evaluating init weights poisons any
+    # parity measurement)
+    pinned_epoch = None
+    base = os.path.basename(os.path.normpath(ckpt_dir))
+    if base.startswith("model_epoch_") and base[12:].isdigit():
+        pinned_epoch = int(base[12:])
+        ckpt_dir = os.path.dirname(os.path.normpath(ckpt_dir))
     ckpt = CheckpointManager(ckpt_dir)
     if ckpt.latest_epoch() is not None:
         tx = build_optimizer(cfg.training)
         template = jax.device_get(
             TrainState.create(variables, tx, jax.random.key(0)))
-        state = ckpt.restore(template)
+        state = ckpt.restore(template, epoch=pinned_epoch)
         variables = state.variables
         print(f"[INFO] restored epoch {int(state.epoch)} from {ckpt_dir}")
+    elif args.checkpoint:
+        raise SystemExit(f"[ERROR] no model_epoch_* checkpoints under "
+                         f"{ckpt_dir} — refusing to silently score init "
+                         "weights (pass no --checkpoint to allow that)")
     else:
         print(f"[WARN] no checkpoint under {ckpt_dir}; evaluating init "
               "weights")
