@@ -290,3 +290,22 @@ def test_detector_optimize_for_tpu_full_stack():
                                np.asarray(ref.boxes), atol=1e-3, rtol=1e-3)
     np.testing.assert_array_equal(np.asarray(got.classes),
                                   np.asarray(ref.classes))
+
+
+def test_all_presets_build_shapes():
+    """Every preset (incl. the opt-in x-tpu) composes into a valid model:
+    abstract init via eval_shape (no FLOPs) + output contract at 64²."""
+    from custom_yolo_tpu.models.presets import PRESETS
+    from custom_yolo_tpu.ops.anchors import num_anchors
+
+    m = num_anchors((64, 64))
+    for name, p in PRESETS.items():
+        model = YoloModel(width=tuple(p["width"]), depth=tuple(p["depth"]),
+                          csp=tuple(p["csp"]), num_classes=17)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = jax.eval_shape(
+            lambda xx: model.init(jax.random.key(0), xx, train=False), x)
+        preds, anchors, strides = jax.eval_shape(
+            lambda v, xx: model.apply(v, xx, train=False), variables, x)
+        assert preds.shape == (1, m, 17 + 64), name
+        assert anchors.shape == (m, 2) and strides.shape == (m, 1), name
