@@ -319,27 +319,62 @@ class Detector:
             self._serve_cache.clear()
         self._fused = fused
 
+    def _transform_flags(self) -> Dict[str, bool]:
+        return {"fused": self._fused, "s2d_stem": self.module.s2d_stem,
+                "merged": self.module.merged,
+                "quantized": self.module.quantized}
+
     def save_weights(self, path: str) -> None:
         """Persist the current variables (params [+ batch_stats]) to an
-        orbax checkpoint directory (reference ``torch.save`` analogue)."""
+        orbax checkpoint directory (reference ``torch.save`` analogue).
+        A ``transforms.json`` sidecar records fuse/s2d/merge/quantize
+        state so :meth:`load_weights` can rebuild the matching tree."""
+        import json
+        import os
+
         import orbax.checkpoint as ocp
         assert self.variables is not None
         with ocp.StandardCheckpointer() as ckptr:
-            import os
             ckptr.save(os.path.abspath(path),
                        jax.device_get(self.variables))
+        with open(os.path.join(path, "transforms.json"), "w") as f:
+            json.dump(self._transform_flags(), f)
 
     def load_weights(self, path: str) -> "Detector":
         """Load variables saved by :meth:`save_weights` (reference
-        ``Model.load_weights``, model_builder.py:60-77)."""
+        ``Model.load_weights``, model_builder.py:60-77). Transformed
+        checkpoints (fused / s2d / merged / quantized trees) are restored
+        by replaying the recorded transforms on a fresh template."""
+        import json
         import os
 
         import orbax.checkpoint as ocp
         if self.variables is None:
             self.init()
+        template = jax.device_get(self.variables)
+        flags = {}
+        sidecar = os.path.join(path, "transforms.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                flags = json.load(f)
+        if flags.get("fused") and "batch_stats" in template:
+            template = fuse_params(template)
+        if flags.get("s2d_stem") and not self.module.s2d_stem:
+            template = convert_stem_variables(template)
+        if flags.get("merged"):
+            template = {**template,
+                        "params": merge_c3k_params(template["params"])}
+        if flags.get("quantized"):
+            from custom_yolo_tpu.ops.quant import quantize_fused_params
+            template = {"params": quantize_fused_params(template["params"])}
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(os.path.abspath(path),
-                                     jax.device_get(self.variables))
+            restored = ckptr.restore(os.path.abspath(path), template)
+        self.module = self.module.clone(
+            s2d_stem=bool(flags.get("s2d_stem", self.module.s2d_stem)),
+            merged=bool(flags.get("merged", False)),
+            quantized=bool(flags.get("quantized", False)))
+        self._tpu_optimized = bool(flags.get("merged")
+                                   or flags.get("s2d_stem"))
         self.load_variables(restored)
         return self
 

@@ -309,3 +309,40 @@ def test_all_presets_build_shapes():
             lambda v, xx: model.apply(v, xx, train=False), variables, x)
         assert preds.shape == (1, m, 17 + 64), name
         assert anchors.shape == (m, 2) and strides.shape == (m, 1), name
+
+
+def test_save_load_roundtrip_transformed(tmp_path):
+    """save_weights/load_weights must round-trip TRANSFORMED trees
+    (fuse + optimize_for_tpu + quantize) via the transforms.json sidecar —
+    restoring against an untransformed template is a tree mismatch."""
+    from custom_yolo_tpu.models import Detector
+
+    def build():
+        return Detector(WIDE["width"], WIDE["depth"], WIDE["csp"],
+                        num_classes=7, precision="float32",
+                        input_size=(64, 64))
+
+    x = jnp.asarray(np.random.RandomState(9).rand(1, 64, 64, 3), jnp.float32)
+    det = build()
+    det.init(seed=0)
+    det.fuse().optimize_for_tpu()
+    ref, _, _ = det(x)
+    path = str(tmp_path / "opt_ckpt")
+    det.save_weights(path)
+
+    det2 = build()
+    det2.load_weights(path)
+    assert det2.module.merged and det2.module.s2d_stem and det2._fused
+    got, _, _ = det2(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    # quantized round-trip too
+    det.quantize()
+    qref, _, _ = det(x)
+    qpath = str(tmp_path / "q_ckpt")
+    det.save_weights(qpath)
+    det3 = build()
+    det3.load_weights(qpath)
+    assert det3.module.quantized
+    qgot, _, _ = det3(x)
+    np.testing.assert_allclose(np.asarray(qgot), np.asarray(qref), atol=1e-6)
