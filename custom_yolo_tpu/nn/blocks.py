@@ -279,7 +279,8 @@ class Attention(nn.Module):
 
     TPU note: runs only at P5 (≤400 tokens at 640²) so the full (hw×hw)
     attention matrix fits trivially in VMEM; softmax/matmuls map straight to
-    MXU via XLA — no flash/blockwise machinery warranted (SURVEY §5).
+    MXU — with a fused all-VMEM Pallas kernel for serving/eval
+    (ops/pallas/attention_kernel.py) and the einsum path for training.
     """
 
     num_head: int
@@ -295,27 +296,31 @@ class Attention(nn.Module):
         nh = self.num_head
         dim_head = c // nh
         dim_key = dim_head // 2
-        scale = dim_key ** -0.5
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
                   act_spec=self.act_spec, fused=self.fused,
                   quantized=self.quantized)
 
         qkv = ConvBN(c + dim_key * nh * 2, act=None, name="qkv", **kw)(x, train)
-        # (b, h*w, nh, 2*dim_key + dim_head) — tokens in sublanes, head dims
+        # token-major (b, t, nh·(2·dk+dh)) — tokens in sublanes, head dims
         # in lanes (TPU-friendly; the reference works channel-major).
-        qkv = qkv.reshape(b, h * w, nh, 2 * dim_key + dim_head)
-        q = qkv[..., :dim_key]                      # (b, t, nh, dk)
-        k = qkv[..., dim_key:2 * dim_key]           # (b, t, nh, dk)
-        v = qkv[..., 2 * dim_key:]                  # (b, t, nh, dh)
+        tokens = qkv.reshape(b, h * w, -1)
+        from custom_yolo_tpu.ops.pallas.attention_kernel import (
+            psa_attention_pallas, psa_attention_reference)
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                         preferred_element_type=jnp.float32)
-        out = out.astype(v.dtype).reshape(b, h, w, c)
-
-        v_spatial = v.reshape(b, h, w, c)
+        # fused all-VMEM kernel for serving/eval on TPU (no (b,nh,t,t)
+        # HBM score tensors — docs/PERF.md); training keeps the
+        # differentiable einsum path (the kernel defines no VJP)
+        t = h * w
+        use_pallas = (not train and t >= 8 and t % 8 == 0
+                      and jax.devices()[0].platform == "tpu")
+        if use_pallas:
+            out_tok, v_tok = psa_attention_pallas(tokens, nh, dim_key,
+                                                  dim_head)
+        else:
+            out_tok, v_tok = psa_attention_reference(tokens, nh, dim_key,
+                                                     dim_head)
+        out = out_tok.reshape(b, h, w, c)
+        v_spatial = v_tok.reshape(b, h, w, c)
         pos = ConvBN(c, kernel_size=3, padding=1, groups=c, act=None,
                      name="pe", **kw)(v_spatial, train)
         return ConvBN(c, act=None, name="proj", **kw)(out + pos, train)
