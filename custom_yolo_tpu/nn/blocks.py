@@ -266,6 +266,10 @@ class SPPF(nn.Module):
                   act_spec=self.act_spec, fused=self.fused,
                   quantized=self.quantized)
         x = ConvBN(c_in // 2, name="cv1", **kw)(x, train)
+        # NOTE: a fused all-VMEM pooling pyramid exists
+        # (ops/pallas/sppf_kernel.py, bit-exact, tested) but measured
+        # NEUTRAL end-to-end (627.6 vs 630.0 img/s at B=128) — XLA already
+        # fuses the reduce_window chain well, so the default stays XLA.
         y1 = _maxpool_same(x, self.k)
         y2 = _maxpool_same(y1, self.k)
         y3 = _maxpool_same(y2, self.k)
