@@ -31,6 +31,30 @@ from custom_yolo_tpu.ops.anchors import make_anchors
 PRIOR_PROB = 1e-2  # classification bias prior (reference head.py:68)
 
 
+class _KB(nn.Module):
+    """Declares {kernel, bias} without computing — lets the fused Pallas
+    cls-tower read ConvBN-shaped params from the standard tree."""
+
+    kshape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.zeros, self.kshape)
+        b = self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
+        return k, b
+
+
+class _ConvParams(nn.Module):
+    """Param holder matching a fused ConvBN subtree ({conv: {kernel,
+    bias}})."""
+
+    kshape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return _KB(self.kshape, name="conv")()
+
+
 class Head(nn.Module):
     num_classes: int
     filters: Tuple[int, ...]          # channels of (p3, p4, p5)
@@ -41,6 +65,9 @@ class Head(nn.Module):
     act_spec: Optional[Any] = None
     fused: bool = False
     quantized: bool = False
+    # opt-in fused Pallas cls tower — measured negative at 640² (see
+    # __call__); off by default
+    pallas_cls_tower: bool = False
 
     @property
     def no(self) -> int:
@@ -57,6 +84,18 @@ class Head(nn.Module):
                   quantized=self.quantized)
         cls_bias = math.log(PRIOR_PROB / (1 - PRIOR_PROB))
 
+        # OPT-IN (measured NEGATIVE, default off): a fused all-VMEM cls
+        # tower exists (ops/pallas/head_kernel.py) — the 5-conv chain via
+        # XLA round-trips the level-0 tensor through HBM five times, but
+        # the kernel's fp32 accumulator forces ~15-row chunks at 80² and
+        # the chunked version measures 50 ms vs XLA's 21 ms at B=128
+        # (docs/PERF.md). Kept for smaller-resolution serving experiments.
+        use_pallas_cls = (self.pallas_cls_tower and self.fused
+                          and not self.quantized and not train
+                          and self.act_spec is None
+                          and cls_ch % 128 == 0
+                          and jax.devices()[0].platform == "tpu")
+
         outs: List[jax.Array] = []
         for i, x in enumerate(feats):
             in_ch = x.shape[-1]
@@ -69,17 +108,43 @@ class Head(nn.Module):
                         param_dtype=self.policy.param_dtype,
                         name=f"box{i}_out")(b)
 
-            c = ConvBN(in_ch, kernel_size=3, padding=1, groups=in_ch,
-                       name=f"cls{i}_dw1", **kw)(x, train)
-            c = ConvBN(cls_ch, name=f"cls{i}_pw1", **kw)(c, train)
-            c = ConvBN(cls_ch, kernel_size=3, padding=1, groups=cls_ch,
-                       name=f"cls{i}_dw2", **kw)(c, train)
-            c = ConvBN(cls_ch, name=f"cls{i}_pw2", **kw)(c, train)
-            c = nn.Conv(nc, kernel_size=(1, 1), use_bias=True,
-                        bias_init=nn.initializers.constant(cls_bias),
-                        dtype=self.policy.compute_dtype,
-                        param_dtype=self.policy.param_dtype,
-                        name=f"cls{i}_out")(c)
+            if use_pallas_cls and in_ch % 128 == 0:
+                from custom_yolo_tpu.ops.pallas.head_kernel import (
+                    cls_tower_pallas)
+                cd = self.policy.compute_dtype
+                dw1k, dw1b = _ConvParams((3, 3, 1, in_ch),
+                                         name=f"cls{i}_dw1")()
+                pw1k, pw1b = _ConvParams((1, 1, in_ch, cls_ch),
+                                         name=f"cls{i}_pw1")()
+                dw2k, dw2b = _ConvParams((3, 3, 1, cls_ch),
+                                         name=f"cls{i}_dw2")()
+                pw2k, pw2b = _ConvParams((1, 1, cls_ch, cls_ch),
+                                         name=f"cls{i}_pw2")()
+                outk, outb = _KB((1, 1, cls_ch, nc), name=f"cls{i}_out")()
+                c = cls_tower_pallas(
+                    x.astype(cd),
+                    (dw1k.reshape(3, 3, in_ch).astype(cd),
+                     dw1b.astype(cd)),
+                    (pw1k.reshape(in_ch, cls_ch).astype(cd),
+                     pw1b.astype(cd)),
+                    (dw2k.reshape(3, 3, cls_ch).astype(cd),
+                     dw2b.astype(cd)),
+                    (pw2k.reshape(cls_ch, cls_ch).astype(cd),
+                     pw2b.astype(cd)),
+                    (outk.reshape(cls_ch, nc).astype(cd),
+                     outb.astype(cd)))
+            else:
+                c = ConvBN(in_ch, kernel_size=3, padding=1, groups=in_ch,
+                           name=f"cls{i}_dw1", **kw)(x, train)
+                c = ConvBN(cls_ch, name=f"cls{i}_pw1", **kw)(c, train)
+                c = ConvBN(cls_ch, kernel_size=3, padding=1, groups=cls_ch,
+                           name=f"cls{i}_dw2", **kw)(c, train)
+                c = ConvBN(cls_ch, name=f"cls{i}_pw2", **kw)(c, train)
+                c = nn.Conv(nc, kernel_size=(1, 1), use_bias=True,
+                            bias_init=nn.initializers.constant(cls_bias),
+                            dtype=self.policy.compute_dtype,
+                            param_dtype=self.policy.param_dtype,
+                            name=f"cls{i}_out")(c)
 
             n, h, w, _ = b.shape
             outs.append(jnp.concatenate([b, c], axis=-1).reshape(n, h * w,
