@@ -376,6 +376,14 @@ class Detector:
         self._tpu_optimized = bool(flags.get("merged")
                                    or flags.get("s2d_stem"))
         self.load_variables(restored)
+        # load_weights may clone the module on flags (s2d/merged/quantized)
+        # that leave the fused bit unchanged — load_variables then skips its
+        # cache clear and stale serve_fn closures would apply the new param
+        # tree through the OLD module. Clear unconditionally (mirrors
+        # fuse()/quantize()/optimize_for_tpu()).
+        self._serve_cache.clear()
+        self._apply_eval = jax.jit(
+            lambda v, x: self.module.apply(v, x, train=False))
         return self
 
     def fuse(self) -> "Detector":

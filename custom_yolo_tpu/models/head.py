@@ -18,7 +18,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,14 +33,21 @@ PRIOR_PROB = 1e-2  # classification bias prior (reference head.py:68)
 
 class _KB(nn.Module):
     """Declares {kernel, bias} without computing — lets the fused Pallas
-    cls-tower read ConvBN-shaped params from the standard tree."""
+    cls-tower read ConvBN-shaped params from the standard tree. Must match
+    the conv branch's param dtype and bias init so a fresh init under
+    ``pallas_cls_tower=True`` stays interchangeable with the standard path
+    (and with saved checkpoints)."""
 
     kshape: Tuple[int, ...]
+    param_dtype: Any = jnp.float32
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", nn.initializers.zeros, self.kshape)
-        b = self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
+        k = self.param("kernel", nn.initializers.zeros, self.kshape,
+                       self.param_dtype)
+        b = self.param("bias", self.bias_init, (self.kshape[-1],),
+                       self.param_dtype)
         return k, b
 
 
@@ -49,10 +56,11 @@ class _ConvParams(nn.Module):
     bias}})."""
 
     kshape: Tuple[int, ...]
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self):
-        return _KB(self.kshape, name="conv")()
+        return _KB(self.kshape, param_dtype=self.param_dtype, name="conv")()
 
 
 class Head(nn.Module):
@@ -112,15 +120,21 @@ class Head(nn.Module):
                 from custom_yolo_tpu.ops.pallas.head_kernel import (
                     cls_tower_pallas)
                 cd = self.policy.compute_dtype
-                dw1k, dw1b = _ConvParams((3, 3, 1, in_ch),
+                pd = self.policy.param_dtype
+                dw1k, dw1b = _ConvParams((3, 3, 1, in_ch), param_dtype=pd,
                                          name=f"cls{i}_dw1")()
                 pw1k, pw1b = _ConvParams((1, 1, in_ch, cls_ch),
+                                         param_dtype=pd,
                                          name=f"cls{i}_pw1")()
-                dw2k, dw2b = _ConvParams((3, 3, 1, cls_ch),
+                dw2k, dw2b = _ConvParams((3, 3, 1, cls_ch), param_dtype=pd,
                                          name=f"cls{i}_dw2")()
                 pw2k, pw2b = _ConvParams((1, 1, cls_ch, cls_ch),
+                                         param_dtype=pd,
                                          name=f"cls{i}_pw2")()
-                outk, outb = _KB((1, 1, cls_ch, nc), name=f"cls{i}_out")()
+                outk, outb = _KB(
+                    (1, 1, cls_ch, nc), param_dtype=pd,
+                    bias_init=nn.initializers.constant(cls_bias),
+                    name=f"cls{i}_out")()
                 c = cls_tower_pallas(
                     x.astype(cd),
                     (dw1k.reshape(3, 3, in_ch).astype(cd),

@@ -311,11 +311,13 @@ class Attention(nn.Module):
         from custom_yolo_tpu.ops.pallas.attention_kernel import (
             psa_attention_pallas, psa_attention_reference)
 
-        # fused all-VMEM kernel for serving/eval on TPU (no (b,nh,t,t)
-        # HBM score tensors — docs/PERF.md); training keeps the
-        # differentiable einsum path (the kernel defines no VJP)
+        # fused all-VMEM kernel for the fused serving path on TPU (no
+        # (b,nh,t,t) HBM score tensors — docs/PERF.md); training AND
+        # unfused eval keep the differentiable einsum path (the kernel
+        # defines no VJP, and gradients through eval-mode forwards —
+        # saliency, adversarial eval — must keep working)
         t = h * w
-        use_pallas = (not train and t >= 8 and t % 8 == 0
+        use_pallas = (self.fused and not train and t >= 8 and t % 8 == 0
                       and jax.devices()[0].platform == "tpu")
         if use_pallas:
             out_tok, v_tok = psa_attention_pallas(tokens, nh, dim_key,

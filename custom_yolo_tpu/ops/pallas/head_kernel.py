@@ -106,7 +106,9 @@ def _dwpw_stage(x, dwk, dwb, pwk, pwb, outk=None, outb=None,
     if not max_rows:
         max_rows = max(8, int(5 * 2 ** 20) // per_row)
     if h > max_rows:
-        step = max_rows - 2
+        # the explicit max_rows override (tests) can be <= 2; clamp so the
+        # chunk loop always advances
+        step = max(1, max_rows - 2)
         outs = []
         r0 = 0
         while r0 < h:
