@@ -8,6 +8,19 @@ scalar host fetch. This measures on-device execution only — host dispatch
 through tunneled/relayed device transports would otherwise dominate or,
 worse, under-report (async dispatch returning before execution).
 
+Cold-cache robustness (the round-2 lesson — BENCH_r02 timed out in the
+driver's budget on a cold first compile):
+
+* the XLA persistent compile cache lives IN THE REPO
+  (``.jax_cache_bench/``, committed) so a driver run in a fresh container
+  deserializes the executables instead of recompiling (~seconds vs 1-5 min
+  through the relay);
+* measurement is staged — B=64 (smaller/faster compile) first, upgrading
+  to the B=128 sweet spot only when the elapsed clock shows the cache was
+  warm;
+* a watchdog thread emits the best measurement so far if wall-clock
+  approaches the driver budget — compile time can never gate JSON output.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the BASELINE.json north-star target of
 2000 images/sec/chip (the reference publishes no numbers — BASELINE.md).
@@ -15,44 +28,68 @@ vs_baseline is against the BASELINE.json north-star target of
 
 import json
 import os
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-# persistent compile cache: repeat runs skip the multi-minute first compile
+_REPO_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".jax_cache_bench")
+os.makedirs(_REPO_CACHE, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_TEST_CACHE",
-                                 "/tmp/custom_yolo_tpu_jax_cache"))
+                  os.environ.get("JAX_BENCH_CACHE", _REPO_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# the executables here are multi-minute relay compiles — cache regardless
+# of XLA's own heuristics
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 NORTH_STAR_IMG_S = 2000.0
 # B=128 is the measured throughput sweet spot on v5e (B=64: 523 img/s,
-# B=128: 603, B=256: 615 — docs/PERF.md); 128 keeps compile+memory sane.
-BATCH = 128
+# B=128: 630 — docs/PERF.md). B=64 is the cold-cache fallback stage.
+STAGE_BATCHES = (64, 128)
 ITERS = 8
+# elapsed-seconds gate: only attempt the B=128 upgrade if stage 1 finished
+# this quickly (i.e. the committed cache hit; a cold relay compile takes
+# 60-300 s and a second one would blow the driver budget)
+UPGRADE_GATE_S = float(os.environ.get("BENCH_UPGRADE_GATE_S", "75"))
+# emit whatever we have by this point, no matter what (driver timeout is
+# not published; round-1 succeeded, round-2 timed out — stay inside the
+# envelope that is known to work)
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "210"))
+
+_T0 = time.perf_counter()
+_LOCK = threading.Lock()
+_BEST = {}
+_DONE = threading.Event()
 
 
-def main():
-    from custom_yolo_tpu.core.dtypes import resolve_policy
-    from custom_yolo_tpu.models import YoloModel, fuse_params
-    from custom_yolo_tpu.models.presets import PRESETS
+def _emit(result):
+    with _LOCK:
+        if _DONE.is_set():
+            return
+        _DONE.set()
+        print(json.dumps(result), flush=True)
 
-    preset = PRESETS["x"]
-    policy = resolve_policy("bfloat16")
-    model = YoloModel(width=tuple(preset["width"]),
-                      depth=tuple(preset["depth"]),
-                      csp=tuple(preset["csp"]), num_classes=172,
-                      policy=policy)
-    variables = model.init(
-        jax.random.key(0),
-        jnp.zeros((1, 640, 640, 3), policy.compute_dtype), train=False)
-    # inference path: conv+BN folded
-    infer_model = model.clone(fused=True)
-    infer_vars = fuse_params(variables)
 
-    def bench_fn(v, x):
+def _watchdog():
+    while not _DONE.is_set():
+        time.sleep(2.0)
+        if time.perf_counter() - _T0 > WATCHDOG_S and _BEST:
+            _emit(dict(_BEST))
+            os._exit(0)
+
+
+def _measure(infer_model, infer_vars, batch, policy):
+    def bench_fn(v, seed):
+        # inputs are generated ON DEVICE from a scalar seed — shipping a
+        # (B,640,640,3) host array through the tunneled transport costs
+        # tens of seconds (measured: ~173 s total startup transfers,
+        # round 3); a scalar costs nothing. Gen cost (~1 ms) is amortized
+        # over ITERS forwards.
+        x = jax.random.uniform(jax.random.key(seed), (batch, 640, 640, 3),
+                               jnp.float32).astype(policy.compute_dtype)
+
         def body(acc, i):
             xi = x + (i.astype(x.dtype) * 1e-6)
             preds, _, _ = infer_model.apply(v, xi, train=False)
@@ -61,25 +98,80 @@ def main():
         return acc
 
     f = jax.jit(bench_fn)
-    x0 = jnp.asarray(np.random.RandomState(0).rand(BATCH, 640, 640, 3),
-                     policy.compute_dtype)
-    float(f(infer_vars, x0))  # compile + warmup
+    float(f(infer_vars, 0))  # compile + warmup
 
-    x1 = jnp.asarray(np.random.RandomState(1).rand(BATCH, 640, 640, 3),
-                     policy.compute_dtype)
     dt = float("inf")  # best-of-3: tunneled transports add stragglers
     for _ in range(3):
         t0 = time.perf_counter()
-        float(f(infer_vars, x1))  # scalar fetch == true completion
+        float(f(infer_vars, 1))  # scalar fetch == true completion
         dt = min(dt, (time.perf_counter() - t0) / ITERS)
+    return batch / dt
 
-    img_s = BATCH / dt
-    print(json.dumps({
-        "metric": "inference_throughput_640_bf16_x",
-        "value": round(img_s, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_s / NORTH_STAR_IMG_S, 4),
-    }))
+
+def _device_init(model, policy):
+    """Build the variable tree in ONE jitted on-device program.
+
+    ``model.init`` issues dozens of separate jit__truncated_normal relay
+    compiles (measured: >590 s cold on the tunneled chip, round 3), and a
+    host-side numpy fill pays a ~114 MB param upload through the relay —
+    both pure startup tax for a throughput bench whose numbers are
+    value-independent. eval_shape traces without compiling; a single jitted
+    fill materializes every leaf on device (BN var=1/mean=0 so the fused
+    fold stays finite, kernels ~N(0, 0.02) so activations stay bounded)."""
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0),
+                           jnp.zeros((1, 640, 640, 3),
+                                     policy.compute_dtype), train=False))
+
+    def fill(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("scale", "var"):
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if name in ("bias", "mean"):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        return (0.02 * jax.random.normal(
+            jax.random.key(0), leaf.shape)).astype(leaf.dtype)
+
+    return jax.jit(
+        lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
+
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    from custom_yolo_tpu.core.dtypes import resolve_policy
+    from custom_yolo_tpu.models import YoloModel
+    from custom_yolo_tpu.models.presets import PRESETS
+
+    preset = PRESETS["x"]
+    policy = resolve_policy("bfloat16")
+    # init the fused (conv+BN-folded) serving module directly — same graph
+    # the round-1/2 numbers used, without paying init+fold dispatch through
+    # the relay
+    infer_model = YoloModel(width=tuple(preset["width"]),
+                            depth=tuple(preset["depth"]),
+                            csp=tuple(preset["csp"]), num_classes=172,
+                            policy=policy, fused=True)
+    infer_vars = _device_init(infer_model, policy)
+
+    for stage, batch in enumerate(STAGE_BATCHES):
+        if stage > 0 and time.perf_counter() - _T0 > UPGRADE_GATE_S:
+            break  # cold cache: a second big compile would blow the budget
+        try:
+            img_s = _measure(infer_model, infer_vars, batch, policy)
+        except Exception:
+            if _BEST:
+                break  # keep the stage-1 number (e.g. transient relay error)
+            time.sleep(3.0)  # one retry: transient FAILED_PRECONDITION
+            img_s = _measure(infer_model, infer_vars, batch, policy)
+        with _LOCK:
+            _BEST.update({
+                "metric": "inference_throughput_640_bf16_x",
+                "value": round(img_s, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_s / NORTH_STAR_IMG_S, 4),
+            })
+    _emit(dict(_BEST))
 
 
 if __name__ == "__main__":
