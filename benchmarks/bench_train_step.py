@@ -4,6 +4,12 @@
 
 Methodology matches bench.py: N steps inside one jitted lax.scan, timed by
 a scalar fetch, so relayed/async dispatch cannot distort the number.
+
+Breakdown modes (round-3 train-step attack — VERDICT r2 #2):
+  --dummy_loss   model fwd+bwd+AdamW only (loss = sum of preds) — isolates
+                 the conv graph from the assigner/loss
+  --loss_only    assigner+loss fwd+bwd only (random preds as input) —
+                 isolates the O(B·GT·anchors) assignment cost
 """
 
 import argparse
@@ -23,6 +29,11 @@ def main():
     p.add_argument("--assigner", default="nearest",
                    choices=["nearest", "tal"])
     p.add_argument("--input_size", type=int, default=640)
+    p.add_argument("--max_gt", type=int, default=64)
+    p.add_argument("--dummy_loss", action="store_true")
+    p.add_argument("--loss_only", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--accumulate", type=int, default=1)
     args = p.parse_args()
 
     import jax
@@ -30,9 +41,15 @@ def main():
     import numpy as np
     import optax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_TEST_CACHE", "/tmp/custom_yolo_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from custom_yolo_tpu.core.dtypes import resolve_policy
     from custom_yolo_tpu.models import YoloModel
     from custom_yolo_tpu.models.presets import PRESETS
+    from custom_yolo_tpu.ops.anchors import make_anchors
     from custom_yolo_tpu.train.losses import DetectionLoss, LossConfig
 
     preset = PRESETS[args.preset]
@@ -40,39 +57,96 @@ def main():
     model = YoloModel(width=tuple(preset["width"]),
                       depth=tuple(preset["depth"]),
                       csp=tuple(preset["csp"]), num_classes=172,
-                      policy=policy)
+                      policy=policy, remat=args.remat)
     size = (args.input_size, args.input_size)
-    variables = model.init(jax.random.key(0),
-                           jnp.zeros((1, *size, 3), policy.compute_dtype),
-                           train=False)
     loss_fn = DetectionLoss(LossConfig(num_classes=172,
                                        assigner=args.assigner))
     tx = optax.adamw(1e-4, weight_decay=1e-4)
-    opt_state = tx.init(variables["params"])
 
-    b, g = args.batch_size, 64
+    b, g = args.batch_size, args.max_gt
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(b, *size, 3).astype(np.float32))
     gt_boxes = jnp.asarray((rng.rand(b, g, 4) * 300 + 50).astype(np.float32))
     gt_labels = jnp.asarray(rng.randint(0, 172, (b, g)).astype(np.int32))
     gt_mask = jnp.asarray(rng.rand(b, g) > 0.5)
-
     iters = args.iters
+
+    if args.loss_only:
+        # random raw preds as the differentiated input — measures the
+        # assigner+loss subgraph alone (fwd+bwd)
+        m = sum((args.input_size // s) ** 2 for s in (8, 16, 32))
+        no = 4 * 16 + 172
+        feat_shapes = [(args.input_size // s, args.input_size // s)
+                       for s in (8, 16, 32)]
+        anchors, strides = make_anchors(feat_shapes, (8, 16, 32), offset=0.5)
+        preds0 = jnp.asarray(rng.randn(b, m, no).astype(np.float32)) * 2.0
+
+        def loss_of(preds):
+            loss, _ = loss_fn(preds, anchors, strides, gt_boxes, gt_labels,
+                              gt_mask)
+            return loss
+
+        def bench_fn(preds):
+            def body(acc, i):
+                pi = preds + (i.astype(preds.dtype) * 1e-6)
+                loss, grads = jax.value_and_grad(loss_of)(pi)
+                return acc + loss + jnp.sum(grads[..., 0]), None
+            acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+            return acc
+
+        f = jax.jit(bench_fn)
+        float(f(preds0))  # compile
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(preds0))
+            dt = min(dt, (time.perf_counter() - t0) / iters)
+        print(json.dumps({
+            "metric": f"loss_only_{args.assigner}_b{b}_g{g}",
+            "value": round(b / dt, 2),
+            "unit": "images/sec/chip",
+            "ms_per_step": round(dt * 1000, 2),
+        }))
+        return
+
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, *size, 3), policy.compute_dtype),
+                           train=False)
+    opt_state = tx.init(variables["params"])
+    images = jnp.asarray(rng.rand(b, *size, 3).astype(np.float32))
 
     def loss_of(params, batch_stats, images):
         (preds, anchors, strides), mut = model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=True, mutable=["batch_stats"])
-        loss, _ = loss_fn(preds, anchors, strides, gt_boxes, gt_labels,
-                          gt_mask)
+        if args.dummy_loss:
+            loss = jnp.sum(preds.astype(jnp.float32)) * 1e-6
+        else:
+            loss, _ = loss_fn(preds, anchors, strides, gt_boxes, gt_labels,
+                              gt_mask)
         return loss, mut["batch_stats"]
+
+    grad_fn = jax.value_and_grad(loss_of, has_aux=True)
+    acc_n = args.accumulate
 
     def bench_fn(params, batch_stats, opt_state, images):
         def body(carry, i):
             params, batch_stats, opt_state = carry
             xi = images + (i.astype(images.dtype) * 1e-6)
-            (loss, new_stats), grads = jax.value_and_grad(
-                loss_of, has_aux=True)(params, batch_stats, xi)
+            if acc_n > 1:
+                micro = xi.reshape(acc_n, b // acc_n, *xi.shape[1:])
+
+                def mb(c, mx):
+                    accg, stats = c
+                    (l, new_stats), grads = grad_fn(params, stats, mx)
+                    return (jax.tree.map(jnp.add, accg, grads),
+                            new_stats), l
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (grads, new_stats), ls = jax.lax.scan(
+                    mb, (zero, batch_stats), micro)
+                grads = jax.tree.map(lambda x: x / acc_n, grads)
+                loss = ls[-1]
+            else:
+                (loss, new_stats), grads = grad_fn(params, batch_stats, xi)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_stats, opt_state), loss
@@ -83,17 +157,22 @@ def main():
     f = jax.jit(bench_fn)
     stats = variables.get("batch_stats", {})
     float(f(variables["params"], stats, opt_state, images))  # compile
-    t0 = time.perf_counter()
-    float(f(variables["params"], stats, opt_state, images))
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(variables["params"], stats, opt_state, images))
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     img_s = b / dt
+    tag = "dummy" if args.dummy_loss else args.assigner
     print(json.dumps({
         "metric": f"train_step_throughput_{args.input_size}_bf16_"
-                  f"{args.preset}_{args.assigner}",
+                  f"{args.preset}_{tag}",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "ms_per_step": round(dt * 1000, 2),
+        "batch": b, "max_gt": g, "remat": args.remat,
+        "accumulate": acc_n,
     }))
 
 

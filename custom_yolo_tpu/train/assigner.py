@@ -15,7 +15,7 @@ serialization point, ``src/model/losses.py:195-266``):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -50,8 +50,12 @@ def nearest_center_assign(gt_centers: jnp.ndarray,
 class TALAssignment(NamedTuple):
     target_boxes: jnp.ndarray    # (N, M, 4) xyxy px of assigned GT
     target_labels: jnp.ndarray   # (N, M) int32
-    target_scores: jnp.ndarray   # (N, M, C) soft cls targets
+    target_scores: Any           # (N, M, C) soft cls targets, or None when
+                                 # dense_scores=False (the loss consumes the
+                                 # sparse anchor_scores form instead)
     fg_mask: jnp.ndarray         # (N, M) bool — anchor is a positive
+    anchor_scores: jnp.ndarray   # (N, M) soft score of the assigned class
+                                 # (target_scores == one_hot(labels) * this)
 
 
 def task_aligned_assign(pred_scores: jnp.ndarray,
@@ -64,7 +68,8 @@ def task_aligned_assign(pred_scores: jnp.ndarray,
                         topk: int = 10,
                         alpha: float = 0.5,
                         beta: float = 6.0,
-                        eps: float = 1e-9) -> TALAssignment:
+                        eps: float = 1e-9,
+                        dense_scores: bool = True) -> TALAssignment:
     """Vectorized TAL.
 
     Args:
@@ -126,10 +131,16 @@ def task_aligned_assign(pred_scores: jnp.ndarray,
     max_iou = jnp.max(jnp.where(pos, iou, 0.0), axis=-1, keepdims=True)
     norm = metric_pos * max_iou / (max_metric + eps)              # (N,G,M)
     anchor_score = jnp.max(norm, axis=1)                          # (N,M)
-    target_scores = (jax.nn.one_hot(tl, num_classes,
-                                    dtype=anchor_score.dtype)
-                     * anchor_score[..., None])
-    target_scores = jnp.where(fg[..., None], target_scores, 0.0)
+    if dense_scores:
+        target_scores = (jax.nn.one_hot(tl, num_classes,
+                                        dtype=anchor_score.dtype)
+                         * anchor_score[..., None])
+        target_scores = jnp.where(fg[..., None], target_scores, 0.0)
+    else:
+        # the loss consumes the (N, M) sparse form (anchor_scores + labels)
+        # directly — skip materializing the (N, M, C) one-hot product
+        target_scores = None
 
     return TALAssignment(target_boxes=tb, target_labels=tl,
-                         target_scores=target_scores, fg_mask=fg)
+                         target_scores=target_scores, fg_mask=fg,
+                         anchor_scores=jnp.where(fg, anchor_score, 0.0))

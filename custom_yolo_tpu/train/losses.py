@@ -51,6 +51,13 @@ class LossConfig:
     tal_alpha: float = 0.5
     tal_beta: float = 6.0
     iou_compat_bug: bool = False    # replicate reference losses.py:20 exactly
+    # sparse-target formulation: the QFL/BCE sums are split into a dense
+    # elementwise base term (targets all zero — no (N, M, C) target tensor)
+    # plus a gathered correction at the ≤G (nearest) / ≤M (TAL) positive
+    # positions. Algebraically identical (summation order differs only);
+    # kills the biggest HBM intermediates of the train step. Equivalence
+    # is test-asserted against the dense path (test_loss.py).
+    sparse_targets: bool = True
 
 
 def quality_focal_loss(pred_logits: jnp.ndarray, target_scores: jnp.ndarray,
@@ -80,6 +87,51 @@ def _two_bin_ce(pred_dist_logits: jnp.ndarray,
         logp, jnp.clip(right, 0, logp.shape[-1] - 1)[..., None],
         axis=-1)[..., 0]
     return ce_l * wl + ce_r * wr
+
+
+def _qfl_sparse(pred_logits: jnp.ndarray, idx: jnp.ndarray,
+                labels: jnp.ndarray, iou: jnp.ndarray,
+                gt_mask: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """QFL without the dense (N, M, C) target tensor.
+
+    target_scores is zero except at the ≤G matched (anchor, class) slots
+    (value = max IoU over duplicates), so
+
+      QFL = Σ_{m,c} -p^β·log(1-p)                       [t = 0 base, dense]
+          + Σ_{winners} -t·[(1-p)^β·log p - p^β·log(1-p)]   [correction]
+
+    Duplicates (two GTs matched to the same anchor AND class) are resolved
+    to the max-IoU instance — the exact semantics of the dense path's
+    ``.at[].max`` scatter; ties keep the lowest GT index (same value, so
+    the sum is identical). Inputs: idx (N,G) matched anchor per GT;
+    labels (N,G); iou (N,G) already zeroed at padding; gt_mask (N,G) bool.
+    Returns per-image QFL (N,), identical to :func:`quality_focal_loss`
+    of the scattered targets up to summation order.
+    """
+    n, m, _ = pred_logits.shape
+    p = jax.nn.sigmoid(pred_logits)
+    base = -jnp.sum(p ** beta * jnp.log(1 - p + 1e-12), axis=(-2, -1))
+
+    # dedup: entry g loses to g' when same (anchor, class), both valid, and
+    # g' has strictly higher IoU (or equal IoU with lower index)
+    g_idx = jnp.arange(idx.shape[1])
+    same = ((idx[:, :, None] == idx[:, None, :])
+            & (labels[:, :, None] == labels[:, None, :])
+            & gt_mask[:, :, None] & gt_mask[:, None, :])       # (N, G, G)
+    better = ((iou[:, None, :] > iou[:, :, None])
+              | ((iou[:, None, :] == iou[:, :, None])
+                 & (g_idx[None, None, :] < g_idx[None, :, None])))
+    winner = gt_mask & ~jnp.any(same & better, axis=2)          # (N, G)
+
+    # gather p at the matched (anchor, class) slots: (N, G)
+    flat = jnp.take_along_axis(
+        pred_logits.reshape(n, -1),
+        idx * pred_logits.shape[-1] + labels, axis=1)
+    pg = jax.nn.sigmoid(flat)
+    corr_terms = iou * ((1 - pg) ** beta * jnp.log(pg + 1e-12)
+                        - pg ** beta * jnp.log(1 - pg + 1e-12))
+    corr = -jnp.sum(jnp.where(winner, corr_terms, 0.0), axis=1)
+    return (base + corr) / m
 
 
 def _iou_xywh_reference_bug(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
@@ -190,17 +242,19 @@ class DetectionLoss:
         iou = jnp.where(gt_mask, iou, 0.0)
         labels_safe = jnp.clip(gt_labels, 0, cfg.num_classes - 1)
 
-        # scatter (duplicate anchors merge by max — deterministic; the
-        # reference's in-place set has unspecified duplicate order)
-        target_scores = jnp.zeros_like(pred_logits)           # (N, M, C)
-        batch_i = jnp.arange(n)[:, None]
-        safe_idx = jnp.where(gt_mask, idx, m)  # padding scatters off-range
-        target_scores = jnp.zeros((n, m + 1, cfg.num_classes),
-                                  dtype=pred_logits.dtype).at[
-            batch_i, safe_idx, labels_safe].max(iou)[:, :m]
-
-        qfl_per_img = quality_focal_loss(pred_logits, target_scores,
-                                         cfg.qfl_beta)         # (N,)
+        if cfg.sparse_targets:
+            qfl_per_img = _qfl_sparse(pred_logits, idx, labels_safe, iou,
+                                      gt_mask, cfg.qfl_beta)
+        else:
+            # scatter (duplicate anchors merge by max — deterministic; the
+            # reference's in-place set has unspecified duplicate order)
+            batch_i = jnp.arange(n)[:, None]
+            safe_idx = jnp.where(gt_mask, idx, m)  # padding → off-range
+            target_scores = jnp.zeros((n, m + 1, cfg.num_classes),
+                                      dtype=pred_logits.dtype).at[
+                batch_i, safe_idx, labels_safe].max(iou)[:, :m]
+            qfl_per_img = quality_focal_loss(pred_logits, target_scores,
+                                             cfg.qfl_beta)     # (N,)
         mean_cls = jnp.mean(qfl_per_img)
 
         total = cfg.lambda_dfl * mean_dfl + cfg.lambda_cls * mean_cls
@@ -226,16 +280,30 @@ class DetectionLoss:
             jax.lax.stop_gradient(pred_xyxy_px),
             anchor_px, gt_xyxy, gt_labels, gt_mask,
             num_classes=cfg.num_classes, topk=cfg.tal_topk,
-            alpha=cfg.tal_alpha, beta=cfg.tal_beta)
+            alpha=cfg.tal_alpha, beta=cfg.tal_beta,
+            dense_scores=not cfg.sparse_targets)
 
-        score_sum = jnp.maximum(jnp.sum(asn.target_scores), 1.0)
+        score_sum = jnp.maximum(jnp.sum(asn.anchor_scores), 1.0)
 
-        # cls: BCE against soft target scores over all anchors
-        bce = optax_sigmoid_bce(pred_logits, asn.target_scores)
-        cls_loss = jnp.sum(bce) / score_sum
+        if cfg.sparse_targets:
+            # BCE(l, t) = [max(l,0) + log1p(e^-|l|)] - l·t, and t is zero
+            # except at each fg anchor's assigned class — so the sum is a
+            # dense elementwise base (no (N, M, C) target tensor) minus a
+            # gathered (N, M) correction. Identical to the dense path up
+            # to summation order (test-asserted).
+            base = jnp.sum(jnp.maximum(pred_logits, 0)
+                           + jnp.log1p(jnp.exp(-jnp.abs(pred_logits))))
+            tl_logit = jnp.take_along_axis(
+                pred_logits, asn.target_labels[..., None], axis=-1)[..., 0]
+            cls_loss = (base - jnp.sum(tl_logit * asn.anchor_scores)) \
+                / score_sum
+        else:
+            # cls: BCE against soft target scores over all anchors
+            bce = optax_sigmoid_bce(pred_logits, asn.target_scores)
+            cls_loss = jnp.sum(bce) / score_sum
 
         # box: CIoU on positives, weighted by target score
-        weight = jnp.sum(asn.target_scores, axis=-1)           # (N, M)
+        weight = asn.anchor_scores                             # (N, M)
         ciou = box_ciou(pred_xyxy_px, asn.target_boxes)        # (N, M)
         box_loss = jnp.sum(jnp.where(asn.fg_mask,
                                      (1.0 - ciou) * weight, 0.0)) / score_sum

@@ -184,6 +184,36 @@ def test_no_gt_image_contributes_zero_dfl(setup):
     assert bool(jnp.isfinite(total))
 
 
+def test_sparse_targets_match_dense(setup):
+    """The sparse-target formulation (no (N, M, C) target tensor — the
+    round-3 train-step memory optimization) must agree with the dense
+    scatter path in value AND gradient, including duplicate assignments
+    (two GTs matched to the same anchor+class must merge by max IoU)."""
+    anchors, strides, preds, _ = setup
+    # engineered duplicates: same center & label twice (same nearest
+    # anchor, same class), plus a same-anchor different-label pair
+    gt_list = [
+        np.array([[20, 20, 12, 16, 2], [20, 20, 20, 10, 2],
+                  [20.5, 20.5, 8, 8, 3], [40, 30, 20, 10, 5]], np.float32),
+        np.array([[32, 32, 30, 30, 1], [32, 32, 30, 30, 1]], np.float32),
+    ]
+    boxes, labels, mask = _pad(gt_list, 8)
+    args = (anchors, strides, jnp.asarray(boxes), jnp.asarray(labels),
+            jnp.asarray(mask))
+    for assigner in ("nearest", "tal"):
+        outs, grads = [], []
+        for sparse in (False, True):
+            loss_fn = DetectionLoss(LossConfig(
+                num_classes=NC, assigner=assigner, sparse_targets=sparse))
+            val, grad = jax.value_and_grad(
+                lambda p: loss_fn(p, *args)[0])(jnp.asarray(preds))
+            outs.append(float(val))
+            grads.append(np.asarray(grad))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5)
+        np.testing.assert_allclose(grads[0], grads[1], rtol=1e-4,
+                                   atol=1e-7)
+
+
 def test_tal_assigner_positive_anchors(setup):
     """TAL must mark anchors inside the GT box as positives and produce
     bounded target scores."""
