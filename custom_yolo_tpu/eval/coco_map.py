@@ -23,9 +23,18 @@ installable here — zero egress).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+# set (pre-fork) by COCOmAP.compute so pool workers inherit the per-class
+# record buckets copy-on-write instead of pickling the whole det store
+_POOL_BUCKETS = None
+
+
+def _class_stats_worker(cls: int):
+    return COCOmAP._class_stats(_POOL_BUCKETS[cls])
 
 IOU_THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)   # 10 thresholds
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
@@ -75,32 +84,58 @@ def _match_image(ious: np.ndarray, gt_ignore: np.ndarray,
     ious: (D, G) with dets already score-sorted and GTs already sorted so
     non-ignored come first. Returns (dt_matched (T, D) bool,
     dt_ignore (T, D) bool). Crowd GTs never lock (can match many dets).
+
+    Semantics (kept bit-identical to the naive T×D×G greedy loop, which is
+    itself a transcription of ``COCOeval.evaluateImg``; equivalence is
+    asserted by the randomized-scene tests in ``tests/test_coco_map.py``):
+    each det takes the *last argmax* IoU ≥ thr among still-free non-ignored
+    GTs; only when none qualifies may it take an ignored GT (GTs arrive
+    ignore-sorted, so the reference loop breaks at the region boundary).
+    The 10 IoU thresholds are independent given the det order — here they
+    run as one vectorized (T, G) pass so Python iterates over D only.
     """
     t = len(IOU_THRESHOLDS)
     d, g = ious.shape
     matched = np.zeros((t, d), bool)
     dt_ig = np.zeros((t, d), bool)
-    for ti, thr in enumerate(IOU_THRESHOLDS):
-        gtm = np.zeros(g, bool)
-        for di in range(d):
-            best = min(thr, 1.0 - 1e-10)
-            m = -1
-            for gi in range(g):
-                if gtm[gi] and not iscrowd[gi]:
-                    continue
-                # a non-ignored match exists and remaining GTs are all
-                # ignored (GTs are ignore-sorted) — stop (COCOeval rule)
-                if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
-                    break
-                if ious[di, gi] < best:
-                    continue
-                best = ious[di, gi]
-                m = gi
-            if m == -1:
-                continue
-            gtm[m] = True
-            matched[ti, di] = True
-            dt_ig[ti, di] = gt_ignore[m]
+    if d == 0 or g == 0:
+        dt_ig |= det_area_bad[None, :]
+        return matched, dt_ig
+
+    thr = np.minimum(IOU_THRESHOLDS, 1.0 - 1e-10)[:, None]    # (T, 1)
+    gtm = np.zeros((t, g), bool)
+    free = np.empty((t, g), bool)
+    # GTs are ignore-sorted: [0, n_non) non-ignored (never crowd — crowd
+    # implies ignored), [n_non, g) ignored
+    n_non = int((~gt_ignore).sum())
+    for di in range(d):
+        row = ious[di]                                        # (G,)
+        np.invert(gtm, out=free)
+        free[:, n_non:] |= iscrowd[None, n_non:]
+        cand = free & (row[None, :] >= thr)                   # (T, G)
+
+        def last_argmax(c, r):
+            # the reference loop updates on ``iou >= best``, so among the
+            # candidate set it keeps the LAST index attaining the exact
+            # float maximum — reproduce with exact == (no keyed-sum
+            # approximations, which would flip near-ties)
+            w = c.shape[1]
+            if w == 0:
+                return np.zeros(t, bool), np.zeros(t, np.int64)
+            vals = np.where(c, r[None, :], -1.0)
+            mx = vals.max(axis=1, keepdims=True)
+            is_mx = (vals == mx) & c
+            pick = w - 1 - np.argmax(is_mx[:, ::-1], axis=1)
+            return c.any(axis=1), pick
+
+        has_non, pick_non = last_argmax(cand[:, :n_non], row[:n_non])
+        has_ig, pick_ig_rel = last_argmax(cand[:, n_non:], row[n_non:])
+        hit = has_non | has_ig
+        pick = np.where(has_non, pick_non, n_non + pick_ig_rel)  # (T,)
+        ti_hit = np.nonzero(hit)[0]
+        gtm[ti_hit, pick[ti_hit]] = True
+        matched[ti_hit, di] = True
+        dt_ig[ti_hit, di] = gt_ignore[pick[ti_hit]]
     dt_ig |= (~matched) & det_area_bad[None, :]
     return matched, dt_ig
 
@@ -138,35 +173,52 @@ class COCOmAP:
         self._images.append((preds[order], scores[order], targets, crowd))
 
     # ------------------------------------------------------------------
-    def _evaluate_class(self, cls: int):
-        """Match records for one class.
+    def _class_buckets(self):
+        """One pass over the image records → {cls: [(p, s, g, cr), ...]}.
+
+        The naive layout re-scanned every image once per class (172 ×
+        n_images selector evaluations); bucketing makes per-class work
+        proportional to the class's actual det/GT volume."""
+        buckets: Dict[int, list] = {}
+        for preds, scores, targets, crowd in self._images:
+            present = np.unique(np.concatenate(
+                [preds[:, 4], targets[:, 4]])).astype(np.int64)
+            for cls in present:
+                if not 0 <= cls < self.num_classes:
+                    continue
+                p_sel = preds[:, 4] == cls
+                t_sel = targets[:, 4] == cls
+                buckets.setdefault(int(cls), []).append(
+                    (preds[p_sel], scores[p_sel], targets[t_sel],
+                     crowd[t_sel]))
+        return buckets
+
+    @staticmethod
+    def _evaluate_class(recs):
+        """Match records for one class (``recs`` from `_class_buckets`).
 
         Returns {area: (list-of (scores, tp, ig) per image, n_gt)} where
         each image entry keeps its dets score-sorted (so per-image top-md
         trimming is a prefix slice).
         """
         per_area = {a: {"imgs": [], "ngt": 0} for a in AREA_RANGES}
-        for preds, scores, targets, crowd in self._images:
-            p_sel = preds[:, 4] == cls
-            t_sel = targets[:, 4] == cls
-            p, s = preds[p_sel], scores[p_sel]
-            g, cr = targets[t_sel], crowd[t_sel]
-            if len(p) == 0 and len(g) == 0:
-                continue
+        for p, s, g, cr in recs:
             p_xyxy = _cxcywh_to_xyxy(p[:, :4])
             g_xyxy = _cxcywh_to_xyxy(g[:, :4])
             g_area = g[:, 2] * g[:, 3]
             p_area = p[:, 2] * p[:, 3]
+            # IoU is area-range independent (only the GT ordering changes
+            # per range) — compute once, permute columns per range
+            iou_full = crowd_iou(p_xyxy, g_xyxy, cr)
             for aname, (lo, hi) in AREA_RANGES.items():
                 acc = per_area[aname]
                 # crowd GTs are always ignored as GT (never counted),
                 # but stay matchable
                 g_ig = cr | (g_area < lo) | (g_area > hi)
                 g_order = np.argsort(g_ig, kind="stable")
-                ious = crowd_iou(p_xyxy, g_xyxy[g_order], cr[g_order])
                 d_bad = (p_area < lo) | (p_area > hi)
-                tp, ig = _match_image(ious, g_ig[g_order], cr[g_order],
-                                      d_bad)
+                tp, ig = _match_image(iou_full[:, g_order], g_ig[g_order],
+                                      cr[g_order], d_bad)
                 acc["imgs"].append((s, tp, ig))
                 acc["ngt"] += int((~g_ig).sum())
         return per_area
@@ -182,44 +234,78 @@ class COCOmAP:
         vals[ok] = prec[idx[ok]]
         return float(vals.mean())
 
+    @classmethod
+    def _class_stats(cls_, recs) -> Tuple[np.ndarray, np.ndarray]:
+        """AP/AR for one class: (t, n_area, n_md) arrays, -1 = not valid."""
+        t = len(IOU_THRESHOLDS)
+        n_area, n_md = len(AREA_RANGES), len(MAX_DETS)
+        ap = np.full((t, n_area, n_md), -1.0)
+        ar = np.full((t, n_area, n_md), -1.0)
+        per_area = cls_._evaluate_class(recs)
+        for ai, aname in enumerate(AREA_RANGES):
+            imgs = per_area[aname]["imgs"]
+            n_gt = per_area[aname]["ngt"]
+            if n_gt == 0:
+                continue
+            for mi, md in enumerate(MAX_DETS):
+                if imgs:
+                    scores = np.concatenate([s[:md] for s, _, _ in imgs])
+                    tp = np.concatenate([x[:, :md] for _, x, _ in imgs],
+                                        axis=1)
+                    ig = np.concatenate([x[:, :md] for _, _, x in imgs],
+                                        axis=1)
+                else:
+                    scores = np.zeros(0, np.float32)
+                    tp = ig = np.zeros((t, 0), bool)
+                order = np.argsort(-scores, kind="mergesort")
+                tpo, igo = tp[:, order], ig[:, order]
+                tps = tpo & ~igo
+                fps = ~tpo & ~igo
+                cum_tp = np.cumsum(tps, axis=1).astype(np.float64)
+                cum_fp = np.cumsum(fps, axis=1).astype(np.float64)
+                for ti in range(t):
+                    if cum_tp.shape[1] == 0:
+                        ar[ti, ai, mi] = 0.0
+                        ap[ti, ai, mi] = 0.0
+                        continue
+                    rc = cum_tp[ti] / n_gt
+                    pr = cum_tp[ti] / np.maximum(
+                        cum_tp[ti] + cum_fp[ti], np.spacing(1))
+                    ar[ti, ai, mi] = rc[-1]
+                    ap[ti, ai, mi] = cls_._ap_101(rc, pr)
+        return ap, ar
+
     def compute(self) -> Dict[str, float]:
         t = len(IOU_THRESHOLDS)
         n_area, n_md = len(AREA_RANGES), len(MAX_DETS)
         ap = np.full((t, self.num_classes, n_area, n_md), -1.0)
         ar = np.full((t, self.num_classes, n_area, n_md), -1.0)
-        for cls in range(self.num_classes):
-            per_area = self._evaluate_class(cls)
-            for ai, aname in enumerate(AREA_RANGES):
-                imgs = per_area[aname]["imgs"]
-                n_gt = per_area[aname]["ngt"]
-                if n_gt == 0:
-                    continue
-                for mi, md in enumerate(MAX_DETS):
-                    if imgs:
-                        scores = np.concatenate([s[:md] for s, _, _ in imgs])
-                        tp = np.concatenate([x[:, :md] for _, x, _ in imgs],
-                                            axis=1)
-                        ig = np.concatenate([x[:, :md] for _, _, x in imgs],
-                                            axis=1)
-                    else:
-                        scores = np.zeros(0, np.float32)
-                        tp = ig = np.zeros((t, 0), bool)
-                    order = np.argsort(-scores, kind="mergesort")
-                    tpo, igo = tp[:, order], ig[:, order]
-                    tps = tpo & ~igo
-                    fps = ~tpo & ~igo
-                    cum_tp = np.cumsum(tps, axis=1).astype(np.float64)
-                    cum_fp = np.cumsum(fps, axis=1).astype(np.float64)
-                    for ti in range(t):
-                        if cum_tp.shape[1] == 0:
-                            ar[ti, cls, ai, mi] = 0.0
-                            ap[ti, cls, ai, mi] = 0.0
-                            continue
-                        rc = cum_tp[ti] / n_gt
-                        pr = cum_tp[ti] / np.maximum(
-                            cum_tp[ti] + cum_fp[ti], np.spacing(1))
-                        ar[ti, cls, ai, mi] = rc[-1]
-                        ap[ti, cls, ai, mi] = self._ap_101(rc, pr)
+        buckets = self._class_buckets()
+        classes = sorted(buckets)
+        n_recs = sum(len(v) for v in buckets.values())
+        workers = int(os.environ.get(
+            "COCO_MAP_WORKERS", min(os.cpu_count() or 1, 16)))
+        # fork-based class parallelism: children inherit the buckets
+        # copy-on-write (no pickling of the det store); per-class results
+        # are tiny. Deterministic — classes are independent.
+        if (workers > 1 and n_recs >= 2048 and len(classes) > 1
+                and hasattr(os, "fork")):
+            import multiprocessing as mp
+            global _POOL_BUCKETS
+            _POOL_BUCKETS = buckets
+            try:
+                with mp.get_context("fork").Pool(
+                        min(workers, len(classes))) as pool:
+                    stats = pool.map(_class_stats_worker, classes,
+                                     chunksize=max(1, len(classes)
+                                                   // (4 * workers)))
+            finally:
+                _POOL_BUCKETS = None
+            for cls, (ap_c, ar_c) in zip(classes, stats):
+                ap[:, cls], ar[:, cls] = ap_c, ar_c
+        else:
+            for cls in classes:
+                ap[:, cls], ar[:, cls] = self._class_stats(buckets[cls])
         return self._summarize(ap, ar)
 
     def _summarize(self, ap: np.ndarray, ar: np.ndarray) -> Dict[str, float]:
