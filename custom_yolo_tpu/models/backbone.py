@@ -70,6 +70,9 @@ class Backbone(nn.Module):
     quantized: bool = False
     # horizontal C3K conv1/conv2 merge (exact; serving) — see nn.blocks.C3K
     merged: bool = False
+    # differentiable Pallas PSA attention in training (custom VJP) —
+    # see nn.blocks.Attention.pallas_attention
+    pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
@@ -104,5 +107,6 @@ class Backbone(nn.Module):
         p5 = down(p4, w[5], "p5_conv")
         p5 = C3K2(w[5], d[3], c[1], r=2, name="p5_csp", **ckw)(p5, train)
         p5 = SPPF(w[5], name="p5_sppf", **kw)(p5, train)
-        p5 = PSA(d[4], name="p5_psa", **kw)(p5, train)
+        p5 = PSA(d[4], name="p5_psa",
+                 pallas_attention=self.pallas_attention, **kw)(p5, train)
         return p3, p4, p5

@@ -62,6 +62,10 @@ class YoloModel(nn.Module):
     # horizontal C3K conv1/conv2 merge (exact, serving): params from
     # merge_c3k_params — see nn.blocks.C3K
     merged: bool = False
+    # differentiable Pallas PSA attention in training (custom VJP; the
+    # fused serving path uses the kernel regardless) — measured train-step
+    # delta in docs/PERF.md
+    pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -75,6 +79,7 @@ class YoloModel(nn.Module):
         x = x.astype(self.policy.compute_dtype)
         feats = backbone_cls(self.width, self.depth, self.csp, name="net",
                              s2d_stem=self.s2d_stem, merged=self.merged,
+                             pallas_attention=self.pallas_attention,
                              **kw)(x, train)
         feats = neck_cls(self.width, self.depth, self.csp, name="fpn",
                          merged=self.merged, **kw)(feats, train)

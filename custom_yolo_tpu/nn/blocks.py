@@ -293,6 +293,11 @@ class Attention(nn.Module):
     act_spec: Optional[Any] = None
     fused: bool = False
     quantized: bool = False
+    # opt-in: use the differentiable Pallas kernel (custom VJP, flash-style
+    # recompute backward) in TRAINING too — kills the (b,nh,t,t) HBM score
+    # tensors in both directions. Off by default: numerics differ from the
+    # einsum path by ~0.13% (fp32 softmax in VMEM vs HBM round-trips).
+    pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -309,19 +314,21 @@ class Attention(nn.Module):
         # in lanes (TPU-friendly; the reference works channel-major).
         tokens = qkv.reshape(b, h * w, -1)
         from custom_yolo_tpu.ops.pallas.attention_kernel import (
-            psa_attention_pallas, psa_attention_reference)
+            psa_attention, psa_attention_reference)
 
         # fused all-VMEM kernel for the fused serving path on TPU (no
-        # (b,nh,t,t) HBM score tensors — docs/PERF.md); training AND
-        # unfused eval keep the differentiable einsum path (the kernel
-        # defines no VJP, and gradients through eval-mode forwards —
-        # saliency, adversarial eval — must keep working)
+        # (b,nh,t,t) HBM score tensors — docs/PERF.md). The kernel now
+        # carries a custom VJP (Pallas backward, softmax recomputed from
+        # qkv), so pallas_attention=True additionally enables it for
+        # training; the default keeps the einsum path everywhere except
+        # fused serving (eval numerics differ ~0.13% from einsum).
         t = h * w
-        use_pallas = (self.fused and not train and t >= 8 and t % 8 == 0
-                      and jax.devices()[0].platform == "tpu")
+        shape_ok = t >= 8 and t % 8 == 0
+        on_tpu = jax.devices()[0].platform == "tpu"
+        use_pallas = (((self.fused and not train) or self.pallas_attention)
+                      and shape_ok and on_tpu)
         if use_pallas:
-            out_tok, v_tok = psa_attention_pallas(tokens, nh, dim_key,
-                                                  dim_head)
+            out_tok, v_tok = psa_attention(tokens, nh, dim_key, dim_head)
         else:
             out_tok, v_tok = psa_attention_reference(tokens, nh, dim_key,
                                                      dim_head)
@@ -342,6 +349,7 @@ class PSABlock(nn.Module):
     act_spec: Optional[Any] = None
     fused: bool = False
     quantized: bool = False
+    pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -349,7 +357,9 @@ class PSABlock(nn.Module):
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
                   act_spec=self.act_spec, fused=self.fused,
                   quantized=self.quantized)
-        x = x + Attention(self.num_head, name="attn", **kw)(x, train)
+        x = x + Attention(self.num_head, name="attn",
+                          pallas_attention=self.pallas_attention,
+                          **kw)(x, train)
         y = ConvBN(c * 2, name="ffn1", **kw)(x, train)
         y = ConvBN(c, act=None, name="ffn2", **kw)(y, train)
         return x + y
@@ -365,6 +375,7 @@ class PSA(nn.Module):
     act_spec: Optional[Any] = None
     fused: bool = False
     quantized: bool = False
+    pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -376,6 +387,8 @@ class PSA(nn.Module):
         a, b = jnp.split(y, 2, axis=-1)
         num_head = max(1, (c // 2) // 64)  # == reference ch//128 heads on c/2
         for i in range(self.n):
-            b = PSABlock(num_head, name=f"m{i}", **kw)(b, train)
+            b = PSABlock(num_head, name=f"m{i}",
+                         pallas_attention=self.pallas_attention,
+                         **kw)(b, train)
         out = jnp.concatenate([a, b], axis=-1)
         return ConvBN(c, name="conv2", **kw)(out, train)
