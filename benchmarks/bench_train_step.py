@@ -34,6 +34,8 @@ def main():
     p.add_argument("--loss_only", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--accumulate", type=int, default=1)
+    p.add_argument("--pallas_attention", action="store_true",
+                   help="differentiable Pallas PSA attention (custom VJP)")
     args = p.parse_args()
 
     import jax
@@ -57,7 +59,8 @@ def main():
     model = YoloModel(width=tuple(preset["width"]),
                       depth=tuple(preset["depth"]),
                       csp=tuple(preset["csp"]), num_classes=172,
-                      policy=policy, remat=args.remat)
+                      policy=policy, remat=args.remat,
+                      pallas_attention=args.pallas_attention)
     size = (args.input_size, args.input_size)
     loss_fn = DetectionLoss(LossConfig(num_classes=172,
                                        assigner=args.assigner))
@@ -165,6 +168,8 @@ def main():
 
     img_s = b / dt
     tag = "dummy" if args.dummy_loss else args.assigner
+    if args.pallas_attention:
+        tag += "_pattn"
     print(json.dumps({
         "metric": f"train_step_throughput_{args.input_size}_bf16_"
                   f"{args.preset}_{tag}",
