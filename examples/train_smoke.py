@@ -25,6 +25,10 @@ def main():
     args = p.parse_args()
 
     import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_TEST_CACHE", "/tmp/custom_yolo_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
