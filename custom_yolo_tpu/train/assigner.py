@@ -101,15 +101,23 @@ def task_aligned_assign(pred_scores: jnp.ndarray,
     metric = (cls_scores ** alpha) * (iou ** beta)
     metric = jnp.where(in_box, metric, 0.0)
 
-    # 3. top-k per GT by metric (mask everything else)
+    # 3. top-k per GT by metric. ``lax.top_k`` lowers to a full per-row
+    #    sort on TPU — for k=10 of M=8400 that sort dominated the TAL
+    #    assigner (loss_only 34.9 ms vs nearest's 11.0 at B=16, r3
+    #    breakdown). k rounds of argmax+mask are O(k·M) fused VPU work,
+    #    select the exact same set (argmax takes the lowest index on ties,
+    #    matching top_k's stable order), and build the (N, G, M) positive
+    #    mask directly — no scatter needed.
     k = min(topk, m)
-    topk_metric, topk_idx = jax.lax.top_k(metric, k)              # (N,G,k)
-    topk_ok = topk_metric > eps
-    # scatter back into a (N, G, M) positive mask
     pos = jnp.zeros((n, g, m), dtype=bool)
-    batch_i = jnp.arange(n)[:, None, None]
-    gt_i = jnp.arange(g)[None, :, None]
-    pos = pos.at[batch_i, gt_i, topk_idx].max(topk_ok)
+    remaining = metric
+    for _ in range(k):
+        best = jnp.argmax(remaining, axis=-1)                     # (N,G)
+        hit = best[..., None] == jnp.arange(m)[None, None, :]     # (N,G,M)
+        ok = jnp.take_along_axis(remaining, best[..., None],
+                                 axis=-1) > eps                   # (N,G,1)
+        pos |= hit & ok
+        remaining = jnp.where(hit, -jnp.inf, remaining)
     pos &= in_box
 
     # 4. conflict resolution: anchor claimed by >1 GT → keep highest IoU

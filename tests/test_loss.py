@@ -238,3 +238,40 @@ def test_tal_assigner_positive_anchors(setup):
     assert float(jnp.max(asn.target_scores)) <= 1.0 + 1e-6
     # positives only where some GT exists
     assert int(jnp.sum(asn.fg_mask[1])) > 0
+
+
+def test_tal_iterative_topk_matches_lax_topk():
+    """The TAL assigner's k-round argmax+mask selection (r3: replaces the
+    full-sort lax.top_k, which dominated the assigner on TPU) must pick
+    the EXACT positive set lax.top_k picked — including duplicate metric
+    values (ties keep the lowest anchor index) and rows with fewer than k
+    positives above eps."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    n, g, m, k, eps = 3, 6, 97, 10, 1e-9
+    metric = rng.rand(n, g, m).astype(np.float32)
+    # engineered ties + all-zero rows + sparse rows
+    metric[0, 0] = 0.0                       # no positives at all
+    metric[0, 1, :20] = 0.5                  # 20-way tie across the k edge
+    metric[0, 1, 20:] = 0.0
+    metric[1, 2] = 0.0
+    metric[1, 2, [5, 50, 90]] = [0.9, 0.9, 0.8]   # fewer than k positives
+    metric = jnp.asarray(metric)
+
+    tv, ti = jax.lax.top_k(metric, k)
+    want = np.zeros((n, g, m), bool)
+    bi = np.arange(n)[:, None, None]
+    gi = np.arange(g)[None, :, None]
+    np.maximum.at(want, (bi, gi, np.asarray(ti)), np.asarray(tv > eps))
+
+    got = np.zeros((n, g, m), bool)
+    remaining = metric
+    for _ in range(k):
+        best = jnp.argmax(remaining, axis=-1)
+        hit = best[..., None] == jnp.arange(m)[None, None, :]
+        ok = jnp.take_along_axis(remaining, best[..., None], axis=-1) > eps
+        got |= np.asarray(hit & ok)
+        remaining = jnp.where(hit, -jnp.inf, remaining)
+    np.testing.assert_array_equal(got, want)
