@@ -216,7 +216,7 @@ def phase_train(root, batch_size, workers, steps):
     # compile on the first batch
     _, _, batch = next(batches)
     trainer.state, metrics = trainer.train_step(trainer.state, batch)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(metrics["total_loss"])
     t0 = time.time()
     n = 0
     losses = []
@@ -229,11 +229,11 @@ def phase_train(root, batch_size, workers, steps):
         trainer.state, metrics = trainer.train_step(trainer.state, batch)
         n += batch_size
         if (i + 1) % 100 == 0:
-            loss = float(metrics["loss"])
+            loss = float(metrics["total_loss"])
             losses.append(round(loss, 4))
             print(f"[train] step {i+1}/{steps} loss={loss:.4f} "
                   f"({n / (time.time() - t0):.1f} img/s)", flush=True)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(metrics["total_loss"])
     dt = time.time() - t0
     stats = {"steps": steps, "batch": batch_size, "wall_s": round(dt, 1),
              "img_per_s": round(n / dt, 1), "losses_per_100": losses,
