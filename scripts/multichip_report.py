@@ -250,10 +250,12 @@ def main():
         f" {ar_fsdp[1]:,} B; {emulated_rs} partition-id slice sites) — "
         "semantically a reduce-scatter at 2× the ring traffic. The dp-axis"
         " gradient sync happens at the *sliced* (1/fsdp) shapes, which is"
-        " the correct ZeRO order. On the TPU backend the same partitioned"
-        " HLO lowers through a pipeline that forms true reduce-scatters;"
-        " the CPU census therefore over-counts fsdp-axis bytes by ≤2×"
-        " rather than hiding a missing reduction.",
+        " the correct ZeRO order. Whether the TPU backend's (closed)"
+        " pipeline rewrites the pair into a true reduce-scatter is not"
+        " observable with one real chip; the census therefore BOUNDS the"
+        " fsdp-axis gradient traffic between (n-1)/n*V (true reduce-scatter)"
+        " and 2(n-1)/n*V (the all-reduce emulation) — either way the"
+        " reduction exists at shard-correct order; it is not missing.",
         "",
         "## Expected v5e-8 scaling model",
         "",
