@@ -198,7 +198,9 @@ def phase_train(root, batch_size, workers, steps):
     from custom_yolo_tpu.train.trainer import Trainer
 
     cfg = _make_config(root, batch_size, workers)
-    cfg.model.num_classes = 172  # ref class-count quirk (100+NUM_CLASSES fits)
+    # category ids are 100..100+NUM_CLASSES-1 and the dataset uses raw ids
+    # as labels (reference quirk) — the class axis must cover them
+    cfg.model.num_classes = 100 + NUM_CLASSES
     preset = PRESETS["x"]
     policy = resolve_policy("bfloat16")
     model = YoloModel(width=tuple(preset["width"]),
@@ -218,6 +220,7 @@ def phase_train(root, batch_size, workers, steps):
     trainer.state, metrics = trainer.train_step(trainer.state, batch)
     jax.block_until_ready(metrics["total_loss"])
     t0 = time.time()
+    t_win = t0
     n = 0
     losses = []
     for i in range(steps):
@@ -231,8 +234,12 @@ def phase_train(root, batch_size, workers, steps):
         if (i + 1) % 100 == 0:
             loss = float(metrics["total_loss"])
             losses.append(round(loss, 4))
+            now = time.time()
+            win = 100 * batch_size / (now - t_win)
+            t_win = now
             print(f"[train] step {i+1}/{steps} loss={loss:.4f} "
-                  f"({n / (time.time() - t0):.1f} img/s)", flush=True)
+                  f"({n / (now - t0):.1f} img/s cum, {win:.1f} window, "
+                  f"rss {_peak_rss_mb():.0f} MB)", flush=True)
     jax.block_until_ready(metrics["total_loss"])
     dt = time.time() - t0
     stats = {"steps": steps, "batch": batch_size, "wall_s": round(dt, 1),
