@@ -65,11 +65,34 @@ class CheckpointManager:
 
     def restore(self, state_template: Any, epoch: Optional[int] = None) -> Any:
         """Restore into the template's structure/shardings; latest epoch if
-        unspecified."""
+        unspecified.
+
+        The template may be abstract (``jax.eval_shape`` output). Abstract
+        leaves carry no sharding, and orbax then falls back to the sharding
+        recorded *in the checkpoint* — which names the devices it was saved
+        on and breaks cross-topology restores (e.g. evaluating a TPU-trained
+        checkpoint on a CPU host). Inject the local default device for any
+        leaf without a concrete sharding so restores land on whatever this
+        host has.
+        """
         step = epoch if epoch is not None else self._manager.latest_step()
         if step is None:
             raise FileNotFoundError(
                 f"no checkpoint found under {self.directory}")
+
+        import jax
+        from jax.sharding import SingleDeviceSharding
+        device = jax.local_devices()[0]
+
+        def _concretize(leaf):
+            if (isinstance(leaf, jax.ShapeDtypeStruct)
+                    and getattr(leaf, "sharding", None) is None):
+                return jax.ShapeDtypeStruct(
+                    leaf.shape, leaf.dtype,
+                    sharding=SingleDeviceSharding(device))
+            return leaf
+
+        state_template = jax.tree.map(_concretize, state_template)
         restored = self._manager.restore(
             step,
             args=ocp.args.Composite(

@@ -141,3 +141,38 @@ def test_native_loader_matches_pil(tiny_project):
         assert diff.max() <= 1  # decoder rounding parity
         np.testing.assert_allclose(bn["gt_boxes"], bp["gt_boxes"])
         np.testing.assert_array_equal(bn["image_id"], bp["image_id"])
+
+
+def test_checkpoint_restores_into_abstract_template(tmp_path):
+    """Restore must accept a jax.eval_shape template (no concrete arrays,
+    no shardings). Abstract leaves used to make orbax fall back to the
+    sharding recorded in the checkpoint — which names the SAVING devices
+    and breaks cross-topology restores (TPU-trained -> CPU eval host);
+    CheckpointManager now injects the local default device (r3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from custom_yolo_tpu.train.train_state import TrainState
+    from custom_yolo_tpu.utils.checkpoint import CheckpointManager
+
+    tx = optax.adamw(1e-3)
+    variables = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+                 "batch_stats": {"m": jnp.ones((3,))}}
+    state = TrainState.create(variables, tx, jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(3, state)
+    mgr.wait()
+
+    template = jax.eval_shape(
+        lambda: TrainState.create(
+            {"params": {"w": jnp.zeros((2, 3))},
+             "batch_stats": {"m": jnp.zeros((3,))}},
+            tx, jax.random.key(0)))
+    restored = mgr.restore(template)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    # restored arrays must be concrete and locally addressable
+    assert restored.params["w"].sharding.device_set <= set(jax.local_devices())
+    mgr.close()
