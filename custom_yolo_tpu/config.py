@@ -76,6 +76,10 @@ class ModelConfig:
         default_factory=lambda: [2, 2, 2, 2, 2, 2])
     csp: List[bool] = dataclasses.field(default_factory=lambda: [True, True])
     reg_max: int = 16  # DFL bins (reference Head.ch, src/model/head.py:35)
+    # differentiable Pallas PSA attention in training (custom VJP;
+    # measured −1.6 ms nearest / −8.7 ms TAL per step, docs/PERF.md).
+    # Numerics differ ~0.13% from the einsum path, so opt-in.
+    pallas_attention: bool = False
 
 
 @dataclasses.dataclass

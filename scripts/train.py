@@ -107,7 +107,8 @@ def main():
                       csp=tuple(cfg.model.csp),
                       num_classes=cfg.model.num_classes,
                       reg_max=cfg.model.reg_max, policy=policy,
-                      remat=cfg.training.remat)
+                      remat=cfg.training.remat,
+                      pallas_attention=cfg.model.pallas_attention)
     import jax.numpy as jnp
     variables = model.init(
         jax.random.key(cfg.project.seed),
