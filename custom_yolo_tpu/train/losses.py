@@ -60,14 +60,33 @@ class LossConfig:
     sparse_targets: bool = True
 
 
+_LOG_EPS = -27.631021115928547  # log(1e-12), the reference's epsilon
+
+
+def _log_sig_eps(x: jnp.ndarray) -> jnp.ndarray:
+    """log(sigmoid(x) + 1e-12), computed without materializing sigmoid.
+
+    The reference's literal idiom ``log(1 - σ + 1e-12)`` (losses.py:52-53)
+    is UNSAFE under XLA:TPU: the partitioner/backend reassociates the
+    three-term sum so the 1e-12 folds into the 1 and vanishes — measured:
+    every logit ≥ 16.6 (where f32 σ rounds to exactly 1.0) produced
+    log(0) = -inf and poisoned the whole loss with one saturated anchor
+    (random-init x at 640² hits this; trained nets can during warmup).
+    ``logaddexp(log_sigmoid(x), log 1e-12)`` is the same function evaluated
+    stably — it matches the reference's epsilon semantics bit-closely in
+    the unsaturated regime AND clamps at log(1e-12) exactly where the
+    reference does."""
+    return jnp.logaddexp(jax.nn.log_sigmoid(x), _LOG_EPS)
+
+
 def quality_focal_loss(pred_logits: jnp.ndarray, target_scores: jnp.ndarray,
                        beta: float = 2.0) -> jnp.ndarray:
     """Per-image QFL (reference losses.py:46-57): elementwise
     -(t·(1-σ)^β·log σ + (1-t)·σ^β·log(1-σ)), summed over anchors and classes,
     divided by the anchor count. Input (..., M, C); returns (...,)."""
     p = jax.nn.sigmoid(pred_logits)
-    pos = target_scores * (1 - p) ** beta * jnp.log(p + 1e-12)
-    neg = (1 - target_scores) * p ** beta * jnp.log(1 - p + 1e-12)
+    pos = target_scores * (1 - p) ** beta * _log_sig_eps(pred_logits)
+    neg = (1 - target_scores) * p ** beta * _log_sig_eps(-pred_logits)
     m = pred_logits.shape[-2]
     return -jnp.sum(pos + neg, axis=(-2, -1)) / m
 
@@ -110,7 +129,7 @@ def _qfl_sparse(pred_logits: jnp.ndarray, idx: jnp.ndarray,
     """
     n, m, _ = pred_logits.shape
     p = jax.nn.sigmoid(pred_logits)
-    base = -jnp.sum(p ** beta * jnp.log(1 - p + 1e-12), axis=(-2, -1))
+    base = -jnp.sum(p ** beta * _log_sig_eps(-pred_logits), axis=(-2, -1))
 
     # dedup: entry g loses to g' when same (anchor, class), both valid, and
     # g' has strictly higher IoU (or equal IoU with lower index)
@@ -128,8 +147,8 @@ def _qfl_sparse(pred_logits: jnp.ndarray, idx: jnp.ndarray,
         pred_logits.reshape(n, -1),
         idx * pred_logits.shape[-1] + labels, axis=1)
     pg = jax.nn.sigmoid(flat)
-    corr_terms = iou * ((1 - pg) ** beta * jnp.log(pg + 1e-12)
-                        - pg ** beta * jnp.log(1 - pg + 1e-12))
+    corr_terms = iou * ((1 - pg) ** beta * _log_sig_eps(flat)
+                        - pg ** beta * _log_sig_eps(-flat))
     corr = -jnp.sum(jnp.where(winner, corr_terms, 0.0), axis=1)
     return (base + corr) / m
 

@@ -275,3 +275,37 @@ def test_tal_iterative_topk_matches_lax_topk():
         got |= np.asarray(hit & ok)
         remaining = jnp.where(hit, -jnp.inf, remaining)
     np.testing.assert_array_equal(got, want)
+
+
+def test_qfl_finite_at_saturated_logits():
+    """Saturated logits (σ rounds to exactly 1.0 in f32, any |x| ≳ 17) must
+    NOT produce inf/nan. The reference's log(1 - σ + 1e-12) idiom loses the
+    epsilon under XLA:TPU reassociation (measured: one saturated anchor
+    poisoned the whole x/640² train step); the log-space form clamps at
+    log(1e-12) exactly like the reference's epsilon does."""
+    import jax
+    import jax.numpy as jnp
+
+    from custom_yolo_tpu.train.losses import (_log_sig_eps, _qfl_sparse,
+                                              quality_focal_loss)
+
+    logits = jnp.asarray([[-100.0, -17.0, 0.0, 17.0, 100.0]] * 8,
+                         jnp.float32).reshape(1, 8, 5)
+    targets = jnp.zeros((1, 8, 5), jnp.float32).at[0, 2, 3].set(0.7)
+    qfl = quality_focal_loss(logits, targets)
+    assert np.isfinite(np.asarray(qfl)).all()
+
+    # the clamp must match the reference's epsilon semantics: at σ==1,
+    # log(1-σ+1e-12) == log(1e-12)
+    v = float(_log_sig_eps(jnp.float32(100.0)))
+    assert abs(v) < 1e-6                       # log(σ+eps) ≈ log(1) = 0
+    w = float(_log_sig_eps(jnp.float32(-100.0)))
+    assert abs(w - np.log(1e-12)) < 1e-4       # clamped exactly at log eps
+
+    # sparse path: same protection
+    idx = jnp.zeros((1, 2), jnp.int32)
+    labels = jnp.zeros((1, 2), jnp.int32)
+    iou = jnp.asarray([[0.9, 0.0]], jnp.float32)
+    mask = jnp.asarray([[True, False]])
+    sp = _qfl_sparse(logits, idx, labels, iou, mask, 2.0)
+    assert np.isfinite(np.asarray(sp)).all()
