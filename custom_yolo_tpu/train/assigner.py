@@ -114,8 +114,9 @@ def task_aligned_assign(pred_scores: jnp.ndarray,
     for _ in range(k):
         best = jnp.argmax(remaining, axis=-1)                     # (N,G)
         hit = best[..., None] == jnp.arange(m)[None, None, :]     # (N,G,M)
-        ok = jnp.take_along_axis(remaining, best[..., None],
-                                 axis=-1) > eps                   # (N,G,1)
+        # the argmax VALUE via max-reduce, not a lane-indexed gather
+        # (scalar gathers along the minor dim are near-serial on XLA:TPU)
+        ok = jnp.max(remaining, axis=-1, keepdims=True) > eps     # (N,G,1)
         pos |= hit & ok
         remaining = jnp.where(hit, -jnp.inf, remaining)
     pos &= in_box

@@ -95,17 +95,25 @@ def _two_bin_ce(pred_dist_logits: jnp.ndarray,
                 target: jnp.ndarray) -> jnp.ndarray:
     """Distribution focal loss core (reference losses.py:63-78): CE against
     floor/ceil bins weighted by linear interpolation.
-    pred_dist_logits (..., reg_max); target (...,) in [0, reg_max-1)."""
+    pred_dist_logits (..., reg_max); target (...,) in [0, reg_max-1).
+
+    The two bins are selected by one-hot multiply-reduce over the reg_max
+    lanes, NOT ``take_along_axis``: a lane-indexed scalar gather lowers to
+    near-serial code on XLA:TPU — measured 17 ms of the 24 ms TAL loss
+    forward at (16, 8400, 4, 16) (docs/PERF.md r3). The reduction form is
+    bit-identical (the 14 untouched lanes contribute exact fp32 zeros;
+    log_softmax of finite logits is always finite, so no 0·inf hazard)
+    and pure fused VPU work."""
     logp = jax.nn.log_softmax(pred_dist_logits, axis=-1)
     left = jnp.floor(target).astype(jnp.int32)
     right = left + 1
     wl = right.astype(target.dtype) - target
     wr = target - left.astype(target.dtype)
-    ce_l = -jnp.take_along_axis(logp, left[..., None], axis=-1)[..., 0]
-    ce_r = -jnp.take_along_axis(
-        logp, jnp.clip(right, 0, logp.shape[-1] - 1)[..., None],
-        axis=-1)[..., 0]
-    return ce_l * wl + ce_r * wr
+    right_c = jnp.clip(right, 0, logp.shape[-1] - 1)
+    bins = jax.lax.iota(jnp.int32, logp.shape[-1])
+    sel = (jnp.where(bins == left[..., None], wl[..., None], 0.0)
+           + jnp.where(bins == right_c[..., None], wr[..., None], 0.0))
+    return -jnp.sum(logp * sel, axis=-1)
 
 
 def _qfl_sparse(pred_logits: jnp.ndarray, idx: jnp.ndarray,
@@ -312,10 +320,14 @@ class DetectionLoss:
             # to summation order (test-asserted).
             base = jnp.sum(jnp.maximum(pred_logits, 0)
                            + jnp.log1p(jnp.exp(-jnp.abs(pred_logits))))
-            tl_logit = jnp.take_along_axis(
-                pred_logits, asn.target_labels[..., None], axis=-1)[..., 0]
-            cls_loss = (base - jnp.sum(tl_logit * asn.anchor_scores)) \
-                / score_sum
+            # Σ logits[n,m,label]·score via one-hot multiply-reduce — a
+            # lane-indexed take_along_axis here is near-serial on XLA:TPU
+            # (same pathology as _two_bin_ce; docs/PERF.md r3)
+            cls_ids = jax.lax.iota(jnp.int32, pred_logits.shape[-1])
+            corr = jnp.sum(pred_logits
+                           * jnp.where(cls_ids == asn.target_labels[..., None],
+                                       asn.anchor_scores[..., None], 0.0))
+            cls_loss = (base - corr) / score_sum
         else:
             # cls: BCE against soft target scores over all anchors
             bce = optax_sigmoid_bce(pred_logits, asn.target_scores)

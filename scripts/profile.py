@@ -17,6 +17,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--preset", default=None,
                    help="model preset override (n/s/m/l/x)")
+    p.add_argument("--assigner", default=None, choices=["nearest", "tal"],
+                   help="loss assigner override (default: config)")
+    p.add_argument("--max_gt", type=int, default=None)
     args = p.parse_args()
 
     import jax
@@ -51,11 +54,13 @@ def main():
 
     tx = build_optimizer(cfg.training)
     state = TrainState.create(variables, tx, jax.random.key(1))
-    loss_fn = DetectionLoss(LossConfig(num_classes=cfg.model.num_classes))
+    loss_cfg = LossConfig(num_classes=cfg.model.num_classes,
+                          assigner=args.assigner or "nearest")
+    loss_fn = DetectionLoss(loss_cfg)
     step = make_train_step(model, loss_fn, tx, donate=False)
 
     rng = np.random.RandomState(0)
-    g = cfg.data.max_gt_boxes
+    g = args.max_gt or cfg.data.max_gt_boxes
     batch = {
         "images": jnp.asarray(rng.rand(args.batch_size,
                                        *cfg.model.input_size, 3)

@@ -309,3 +309,33 @@ def test_qfl_finite_at_saturated_logits():
     mask = jnp.asarray([[True, False]])
     sp = _qfl_sparse(logits, idx, labels, iou, mask, 2.0)
     assert np.isfinite(np.asarray(sp)).all()
+
+
+def test_two_bin_ce_onehot_matches_gather():
+    """_two_bin_ce selects its two bins by one-hot multiply-reduce (a
+    lane-indexed take_along_axis is near-serial on XLA:TPU — docs/PERF.md
+    r3). The reduction form must be BIT-identical to the gather form,
+    including integer targets (wr == 0) and targets just below reg_max-1."""
+    import jax.numpy as jnp
+
+    from custom_yolo_tpu.train.losses import _two_bin_ce
+
+    rm = 16
+    rng = np.random.RandomState(7)
+    logits = jnp.asarray(rng.randn(64, 4, rm).astype(np.float32) * 8)
+    t = rng.rand(64, 4).astype(np.float32) * (rm - 1 - 0.01)
+    t[0] = [0.0, 1.0, 7.0, 14.0]            # exact-integer targets
+    t[1] = [rm - 1 - 0.01] * 4              # the bbox2dist clamp value
+    target = jnp.asarray(t)
+
+    got = np.asarray(_two_bin_ce(logits, target))
+
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    left = np.floor(t).astype(np.int64)
+    right = np.clip(left + 1, 0, rm - 1)
+    wl = (left + 1).astype(np.float32) - t
+    wr = t - left.astype(np.float32)
+    ce_l = -np.take_along_axis(logp, left[..., None], axis=-1)[..., 0]
+    ce_r = -np.take_along_axis(logp, right[..., None], axis=-1)[..., 0]
+    want = ce_l * wl + ce_r * wr
+    np.testing.assert_array_equal(got, want.astype(np.float32))
