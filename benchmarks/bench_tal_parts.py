@@ -15,6 +15,13 @@ methodology — so optimization effort lands on the right chunk:
                precomputed as constants
   full         the real thing (cross-check vs bench_train_step)
 
+``--consume {both,value_only,grads_only} [--assigner a]`` instead times the
+full loss with different outputs consumed — the *consumption ablation* that
+found the r3 lane-gather pathology: a pure-forward evaluation that costs as
+much as fwd+bwd while a grads-only one is cheap means XLA DCE'd a serial
+op in the value chain (gather VJPs are scatters, so the backward never
+needs the forward gathers). See docs/PERF.md "The lane-gather discovery".
+
 Reference context: the assigner replaces the per-image python loop of
 ``src/model/losses.py:195-266``.
 """
@@ -35,6 +42,12 @@ def main():
     p.add_argument("--max_gt", type=int, default=64)
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--parts", default="all")
+    p.add_argument("--consume", default=None,
+                   choices=["both", "value_only", "grads_only"],
+                   help="consumption-ablation mode (overrides --parts)")
+    p.add_argument("--assigner", default="tal",
+                   choices=["nearest", "tal"],
+                   help="assigner for --consume mode")
     args = p.parse_args()
 
     import jax
@@ -72,6 +85,37 @@ def main():
 
     loss_fn = DetectionLoss(LossConfig(num_classes=c, assigner="tal"))
     iters = args.iters
+
+    if args.consume:
+        lf = DetectionLoss(LossConfig(num_classes=c, assigner=args.assigner))
+
+        def loss_of(preds):
+            return lf(preds, anchors, strides, gt_boxes, gt_labels,
+                      gt_mask)[0]
+
+        def bench(preds):
+            def body(acc, i):
+                pi = preds + (i.astype(preds.dtype) * 1e-6)
+                if args.consume == "value_only":
+                    return acc + loss_of(pi), None
+                loss, grads = jax.value_and_grad(loss_of)(pi)
+                gsum = jnp.sum(grads.astype(jnp.float32))
+                return acc + (loss + gsum if args.consume == "both"
+                              else gsum), None
+            acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+            return acc
+
+        f = jax.jit(bench)
+        float(f(preds0))
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(preds0))
+            dt = min(dt, (time.perf_counter() - t0) / iters)
+        print(json.dumps({"consume": args.consume,
+                          "assigner": args.assigner,
+                          "ms": round(dt * 1000, 3)}))
+        return
 
     def decode(preds):
         pred_dist = preds[..., :64]

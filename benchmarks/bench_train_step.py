@@ -36,6 +36,10 @@ def main():
     p.add_argument("--accumulate", type=int, default=1)
     p.add_argument("--pallas_attention", action="store_true",
                    help="differentiable Pallas PSA attention (custom VJP)")
+    p.add_argument("--flat_optimizer", action="store_true",
+                   help="optax.flatten(adamw): one fused update over a "
+                        "single flat parameter vector instead of ~626 "
+                        "per-leaf update chains")
     args = p.parse_args()
 
     import jax
@@ -65,6 +69,8 @@ def main():
     loss_fn = DetectionLoss(LossConfig(num_classes=172,
                                        assigner=args.assigner))
     tx = optax.adamw(1e-4, weight_decay=1e-4)
+    if args.flat_optimizer:
+        tx = optax.flatten(tx)
 
     b, g = args.batch_size, args.max_gt
     rng = np.random.RandomState(0)
@@ -170,6 +176,8 @@ def main():
     tag = "dummy" if args.dummy_loss else args.assigner
     if args.pallas_attention:
         tag += "_pattn"
+    if args.flat_optimizer:
+        tag += "_flatopt"
     print(json.dumps({
         "metric": f"train_step_throughput_{args.input_size}_bf16_"
                   f"{args.preset}_{tag}",
