@@ -15,9 +15,16 @@ driver's budget on a cold first compile):
   (``.jax_cache_bench/``, committed) so a driver run in a fresh container
   deserializes the executables instead of recompiling (~seconds vs 1-5 min
   through the relay);
-* measurement is staged — B=64 (smaller/faster compile) first, upgrading
-  to the B=128 sweet spot only when the elapsed clock shows the cache was
-  warm;
+* a warm-probe goes straight to the B=128 sweet spot when its executable
+  is already in the committed cache: the probe monkeypatches jax's cold
+  path (``compiler.backend_compile_and_load``) to raise, so a cache HIT
+  deserializes and proceeds while a cache MISS aborts in milliseconds
+  instead of starting a multi-minute relay compile (round 3: the old
+  elapsed-clock gate mis-classified a *warm* run as cold — relay startup
+  alone can exceed any fixed threshold — and shipped the B=64 fallback);
+* if the probe reports cold, measurement is staged — B=64 (smaller/
+  faster compile) first, upgrading to B=128 only when the elapsed clock
+  shows the compile was quick;
 * a watchdog thread emits the best measurement so far if wall-clock
   approaches the driver budget — compile time can never gate JSON output.
 
@@ -45,9 +52,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 NORTH_STAR_IMG_S = 2000.0
-# B=128 is the measured throughput sweet spot on v5e (B=64: 523 img/s,
-# B=128: 630 — docs/PERF.md). B=64 is the cold-cache fallback stage.
-STAGE_BATCHES = (64, 128)
+# B=256 is the measured throughput sweet spot on v5e (B=64: 523 img/s,
+# B=128: 628.5, B=192: 554 — non-pow2 tiles badly, B=256: 646.2,
+# B=512: OOM at 20.4 GB HBM — docs/PERF.md). B=64 is the cold-cache
+# fallback stage; B=128 the intermediate.
+STAGE_BATCHES = (64, 128, 256)
 ITERS = 8
 # elapsed-seconds gate: only attempt the B=128 upgrade if stage 1 finished
 # this quickly (i.e. the committed cache hit; a cold relay compile takes
@@ -80,7 +89,37 @@ def _watchdog():
             os._exit(0)
 
 
-def _measure(infer_model, infer_vars, batch, policy):
+class _ColdCompile(Exception):
+    """Raised by the warm-probe when the executable is not in the cache."""
+
+
+class _warm_only:
+    """Context manager: any attempt to actually COMPILE (vs deserialize
+    from the persistent cache) raises _ColdCompile immediately.
+
+    jax funnels every non-cache-hit compilation through the module-global
+    ``jax._src.compiler.backend_compile_and_load`` (both the cache-miss
+    path and the cache-disabled path); swapping it out turns "compile"
+    into a cheap cache-presence probe. Version-pinned environment; any
+    internals drift raises AttributeError, which callers treat as cold."""
+
+    def __enter__(self):
+        from jax._src import compiler as _compiler
+        self._compiler = _compiler
+        self._orig = _compiler.backend_compile_and_load
+
+        def _refuse(*a, **k):
+            raise _ColdCompile()
+
+        _compiler.backend_compile_and_load = _refuse
+        return self
+
+    def __exit__(self, *exc):
+        self._compiler.backend_compile_and_load = self._orig
+        return False
+
+
+def _measure(infer_model, infer_vars, batch, policy, warm_only=False):
     def bench_fn(v, seed):
         # inputs are generated ON DEVICE from a scalar seed — shipping a
         # (B,640,640,3) host array through the tunneled transport costs
@@ -98,7 +137,13 @@ def _measure(infer_model, infer_vars, batch, policy):
         return acc
 
     f = jax.jit(bench_fn)
-    float(f(infer_vars, 0))  # compile + warmup
+    if warm_only:
+        with _warm_only():
+            # cache hit → deserializes and runs; miss → _ColdCompile now
+            # instead of a 1-5 min relay compile
+            float(f(infer_vars, 0))
+    else:
+        float(f(infer_vars, 0))  # compile + warmup
 
     dt = float("inf")  # best-of-3: tunneled transports add stragglers
     for _ in range(3):
@@ -154,6 +199,29 @@ def main():
                             policy=policy, fused=True)
     infer_vars = _device_init(infer_model, policy)
 
+    def record(img_s):
+        with _LOCK:
+            _BEST.update({
+                "metric": "inference_throughput_640_bf16_x",
+                "value": round(img_s, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_s / NORTH_STAR_IMG_S, 4),
+            })
+
+    # Fast path: the committed cache holds the B=128 executable — go
+    # straight to the sweet spot (a warm B=64 stage costs 60-90 s of
+    # relay time and its number is 14% lower).
+    try:
+        record(_measure(infer_model, infer_vars, STAGE_BATCHES[-1], policy,
+                        warm_only=True))
+        _emit(dict(_BEST))
+        return
+    except (_ColdCompile, AttributeError):
+        pass  # cold cache (or jax internals drift): staged fallback
+    except Exception:
+        pass  # transient relay error mid-measure: the staged path below
+        #       recompiles from the (warm) cache and still emits a number
+
     for stage, batch in enumerate(STAGE_BATCHES):
         if stage > 0 and time.perf_counter() - _T0 > UPGRADE_GATE_S:
             break  # cold cache: a second big compile would blow the budget
@@ -164,13 +232,7 @@ def main():
                 break  # keep the stage-1 number (e.g. transient relay error)
             time.sleep(3.0)  # one retry: transient FAILED_PRECONDITION
             img_s = _measure(infer_model, infer_vars, batch, policy)
-        with _LOCK:
-            _BEST.update({
-                "metric": "inference_throughput_640_bf16_x",
-                "value": round(img_s, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_s / NORTH_STAR_IMG_S, 4),
-            })
+        record(img_s)
     _emit(dict(_BEST))
 
 
