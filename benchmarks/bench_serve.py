@@ -28,7 +28,10 @@ def main():
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth stem (exact transform)")
     p.add_argument("--quant", action="store_true",
-                   help="int8 serving path (ops.quant)")
+                   help="int8 serving path, dynamic act scales (ops.quant)")
+    p.add_argument("--static_quant", action="store_true",
+                   help="int8 serving with calibrated static act scales "
+                        "(quantize→calibrate; the throughput-viable mode)")
     p.add_argument("--c3k_merge", action="store_true",
                    help="horizontal C3K conv1/conv2 merge (exact)")
     args = p.parse_args()
@@ -61,10 +64,21 @@ def main():
         from custom_yolo_tpu.models.detector import merge_c3k_params
         model = model.clone(merged=True)
         variables = {"params": merge_c3k_params(variables["params"])}
-    if args.quant:
+    if args.quant or args.static_quant:
         from custom_yolo_tpu.ops.quant import quantize_fused_params
         model = model.clone(quantized=True)
         variables = {"params": quantize_fused_params(variables["params"])}
+    if args.static_quant:
+        # calibrate static activation scales on one random batch (a
+        # throughput bench is value-independent; real deployments use
+        # Detector.calibrate over representative data)
+        from custom_yolo_tpu.ops.quant import bake_static_scales
+        cal = jnp.asarray(np.random.RandomState(1).rand(
+            8, 640, 640, 3), policy.compute_dtype)
+        _, stats = jax.jit(lambda v, x: model.apply(
+            v, x, train=False, mutable=["quant_stats"]))(variables, cal)
+        variables = {"params": bake_static_scales(
+            variables["params"], jax.device_get(stats["quant_stats"]))}
 
     b, iters = args.batch_size, args.iters
 
@@ -95,8 +109,10 @@ def main():
         float(f(variables, x))
         dt = min(dt, (time.perf_counter() - t0) / iters)
 
+    dtype_tag = ("int8static" if args.static_quant
+                 else "int8dyn" if args.quant else "bf16")
     print(json.dumps({
-        "metric": f"serve_throughput_640_bf16_{args.preset}",
+        "metric": f"serve_throughput_640_{dtype_tag}_{args.preset}",
         "value": round(b / dt, 2),
         "unit": "images/sec/chip",
         "ms_per_batch": round(dt * 1000, 2),

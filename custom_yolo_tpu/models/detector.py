@@ -179,7 +179,13 @@ def merge_c3k_params(params: Dict[str, Any]) -> Dict[str, Any]:
                 >= MERGE_MIN_HALF)
 
     def merge_leaf(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, Any]:
-        return {k: jnp.concatenate([a[k], b[k]], axis=-1) for k in a}
+        out = {k: jnp.concatenate([a[k], b[k]], axis=-1)
+               for k in a if k != "in_scale"}
+        if "in_scale" in a:
+            # conv1/conv2 read the SAME tensor: calibrated input scales are
+            # equal; max is exact under any calibration asymmetry
+            out["in_scale"] = jnp.maximum(a["in_scale"], b["in_scale"])
+        return out
 
     def walk(tree):
         out = {}
@@ -325,9 +331,14 @@ class Detector:
         self._fused = fused
 
     def _transform_flags(self) -> Dict[str, bool]:
+        from custom_yolo_tpu.ops.quant import has_static_scales
         return {"fused": self._fused, "s2d_stem": self.module.s2d_stem,
                 "merged": self.module.merged,
-                "quantized": self.module.quantized}
+                "quantized": self.module.quantized,
+                "static_quant": bool(
+                    self.variables is not None
+                    and self.module.quantized
+                    and has_static_scales(self.variables["params"]))}
 
     def save_weights(self, path: str) -> None:
         """Persist the current variables (params [+ batch_stats]) to an
@@ -370,8 +381,11 @@ class Detector:
             template = {**template,
                         "params": merge_c3k_params(template["params"])}
         if flags.get("quantized"):
-            from custom_yolo_tpu.ops.quant import quantize_fused_params
+            from custom_yolo_tpu.ops.quant import (bake_static_scales,
+                                                   quantize_fused_params)
             template = {"params": quantize_fused_params(template["params"])}
+            if flags.get("static_quant"):
+                template = {"params": bake_static_scales(template["params"])}
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path), template)
         self.module = self.module.clone(
@@ -414,10 +428,13 @@ class Detector:
         """Switch to int8 serving: fuse (if needed), quantize every ConvBN
         kernel per-output-channel to int8 (head logit projections stay
         bf16), and swap in the ``quantized=True`` module. Quality: <1pt
-        mAP@50 delta (test-verified on the fixture). Throughput: measured
-        SLOWER than bf16 at batch sizes ≥64 on v5e via XLA (docs/PERF.md)
-        — use for weight-HBM-bound regimes (small-batch latency, weight
-        storage halving), not batch throughput."""
+        mAP@50 delta (test-verified on the fixture).
+
+        This leaves the model in *dynamic* activation-scale mode — correct
+        but measured 2× SLOWER than bf16 at batch sizes ≥64 on v5e (the
+        per-conv absmax pass, docs/PERF.md). For int8 *throughput*, follow
+        with :meth:`calibrate` to bake static scales (the int8 MXU runs
+        convs at ≈1.9× the bf16 rate once the absmax pass is gone)."""
         assert self.variables is not None, "call .init() or load weights"
         if self.module.quantized:
             return self
@@ -427,6 +444,49 @@ class Detector:
         self.variables = {"params": quantize_fused_params(
             self.variables["params"], stochastic=stochastic)}
         self.module = self.module.clone(quantized=True)
+        self._apply_eval = jax.jit(
+            lambda v, x: self.module.apply(v, x, train=False))
+        self._serve_cache.clear()
+        return self
+
+    def calibrate(self, batches) -> "Detector":
+        """Post-training static-quantization calibration: run
+        representative ``batches`` (an iterable of preprocessed NHWC
+        arrays) through the dynamic-int8 graph recording each conv's
+        observed input absmax, then bake per-conv static input scales
+        (``ops.quant.bake_static_scales``). After this the serving graph
+        quantizes activations with compile-time-constant scales — no
+        absmax reduce per conv — and activations between convs stay
+        cheap elementwise ops XLA fuses into the conv epilogues.
+
+        The reference has no quantized path (model_builder.py:79-139
+        serves fp32/fp16); this is TPU-native capability: v5e's MXU
+        contracts int8 at ~2× the bf16 rate."""
+        assert self.variables is not None, "call .init() or load weights"
+        assert self.module.quantized, "call .quantize() before .calibrate()"
+        from custom_yolo_tpu.ops.quant import (bake_static_scales,
+                                               has_static_scales)
+        assert not has_static_scales(self.variables["params"]), \
+            "already calibrated"
+
+        module = self.module
+
+        @jax.jit
+        def observe(variables, x):
+            _, stats = module.apply(variables, x, train=False,
+                                    mutable=["quant_stats"])
+            return stats["quant_stats"]
+
+        agg = None
+        n = 0
+        for batch in batches:
+            stats = observe(self.variables, jnp.asarray(batch))
+            agg = stats if agg is None else jax.tree_util.tree_map(
+                jnp.maximum, agg, stats)
+            n += 1
+        assert agg is not None, "calibrate() needs at least one batch"
+        self.variables = {"params": bake_static_scales(
+            self.variables["params"], jax.device_get(agg))}
         self._apply_eval = jax.jit(
             lambda v, x: self.module.apply(v, x, train=False))
         self._serve_cache.clear()

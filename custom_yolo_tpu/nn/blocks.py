@@ -40,8 +40,19 @@ class _QuantConv(nn.Module):
     """int8 conv leaf for the quantized serving path: reads the
     {kernel int8, scale, bias} tree written by
     :func:`custom_yolo_tpu.ops.quant.quantize_fused_params` and runs the
-    dynamic-activation int8 conv (``ops.quant.int8_conv``, act applied by
-    the parent ConvBN)."""
+    int8 conv (act applied by the parent ConvBN).
+
+    Two modes, selected by the param tree (no module flag):
+
+    * **dynamic** — per-batch absmax activation scale (r2). Correct but
+      measured 2× slower than bf16: the absmax reduce + round/clip cost a
+      full extra pass over every activation (docs/PERF.md). Used for
+      calibration: when the ``quant_stats`` collection is mutable, the
+      observed input absmax is sown for :func:`bake_static_scales`.
+    * **static** — the leaf carries a calibrated ``in_scale`` param
+      (``ops.quant.bake_static_scales``): quantization is elementwise
+      (XLA fuses it into the producer's epilogue) and the int8 MXU rate
+      (≈1.9× bf16 on 3×3 convs, v5e) survives end-to-end."""
 
     features: int
     kernel_size: int
@@ -51,7 +62,8 @@ class _QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from custom_yolo_tpu.ops.quant import int8_conv
+        from custom_yolo_tpu.ops.quant import (int8_conv, int8_conv_static,
+                                               quantize_act_int8)
 
         k = self.kernel_size
         cin = x.shape[-1] // self.groups
@@ -61,6 +73,19 @@ class _QuantConv(nn.Module):
                            (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        if self.has_variable("params", "in_scale"):
+            in_scale = self.param("in_scale", nn.initializers.ones,
+                                  (), jnp.float32)
+            return int8_conv_static(x, kernel, scale, bias, in_scale,
+                                    strides=(self.strides, self.strides),
+                                    padding=tuple(self.padding),
+                                    groups=self.groups, act=False)
+        # calibration tap: a no-op unless apply() made "quant_stats"
+        # mutable (XLA DCEs the duplicate absmax otherwise — it is the
+        # same reduction int8_conv computes)
+        _, ascale = quantize_act_int8(x)
+        self.sow("quant_stats", "in_absmax", ascale * 127.0,
+                 init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum)
         return int8_conv(x, kernel, scale, bias,
                          strides=(self.strides, self.strides),
                          padding=tuple(self.padding), groups=self.groups,

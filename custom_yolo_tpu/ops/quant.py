@@ -20,12 +20,21 @@ quantized serving mode is a first-class TPU capability:
 Head final 1×1 projections (box/cls logits) are left in bf16 — they are
 <2% of FLOPs and logit precision controls detection quality.
 
-MEASURED (v5e, x preset, B=64, docs/PERF.md): the dynamic-quant conv path
-is 2× SLOWER than bf16 for batch throughput — XLA does not lower
-``s8×s8→s32`` convs onto the MXU's fast int8 path and the per-conv
-quant/dequant round-trips triple activation HBM traffic. Use this path
-for weight-HBM-bound regimes (small-batch latency serving, weight
-storage/transfer halving), not for batch throughput.
+MEASURED (v5e, x preset, B=64 r2 / re-diagnosed r3, docs/PERF.md): the
+*dynamic*-quant conv path is 2× SLOWER than bf16 for batch throughput.
+Round-3 microbenchmarks overturned the r2 attribution: XLA **does** lower
+``s8×s8→s32`` convs onto the MXU's fast int8 path (3×3 768-ch conv:
+354 TOP/s vs 187 TF/s bf16 = 1.9×; int8 dot 245 TOP/s at 8192³) — the
+slowdown is the dynamic quantization itself: a full absmax reduce pass
+plus a round/clip pass over every activation tensor, unfusable into the
+producing conv's epilogue because of the data-dependent scale.
+
+The **static** path (per-conv input scales calibrated offline —
+:func:`bake_static_scales`) removes the absmax pass: quantize becomes a
+pure elementwise op XLA fuses into the neighbouring epilogues, and the
+MXU speedup survives (static 1×1 chain incl. SiLU+requant epilogues:
+1.4× over bf16, isolated). Use dynamic only for calibration; serve
+static.
 """
 
 from __future__ import annotations
@@ -98,7 +107,33 @@ def quantize_act_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def quantize_act_static(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Static per-tensor int8 quantization with a precomputed scale — a
+    pure elementwise op (no absmax reduce) that XLA fuses into the
+    producing op's epilogue."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q
+
+
 # ------------------------------------------------------------------ conv
+def _int8_contract(qx: jax.Array, ascale: jax.Array, qkernel: jax.Array,
+                   wscale: jax.Array, bias: jax.Array,
+                   strides: Tuple[int, int], padding: Any, groups: int,
+                   act: bool, out_dtype) -> jax.Array:
+    """int8 NHWC × int8 HWIO → int32 MXU contraction, dequantized by
+    ascale·wscale[o], +bias, optional SiLU, cast to ``out_dtype``."""
+    out = jax.lax.conv_general_dilated(
+        qx, qkernel, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32)
+    out = out.astype(jnp.float32) * (ascale * wscale) + bias
+    if act:
+        out = jax.nn.silu(out)
+    return out.astype(out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("strides", "padding", "groups",
                                              "act"))
 def int8_conv(x: jax.Array, qkernel: jax.Array, wscale: jax.Array,
@@ -111,15 +146,23 @@ def int8_conv(x: jax.Array, qkernel: jax.Array, wscale: jax.Array,
     dequant by act_scale·wscale[o], +bias, SiLU when ``act``.
     """
     qx, ascale = quantize_act_int8(x)
-    out = jax.lax.conv_general_dilated(
-        qx, qkernel, window_strides=strides, padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.int32)
-    out = out.astype(jnp.float32) * (ascale * wscale) + bias
-    if act:
-        out = jax.nn.silu(out)
-    return out.astype(x.dtype)
+    return _int8_contract(qx, ascale, qkernel, wscale, bias, strides,
+                          padding, groups, act, x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("strides", "padding", "groups",
+                                             "act"))
+def int8_conv_static(x: jax.Array, qkernel: jax.Array, wscale: jax.Array,
+                     bias: jax.Array, in_scale: jax.Array,
+                     strides: Tuple[int, int] = (1, 1),
+                     padding: Any = ((0, 0), (0, 0)), groups: int = 1,
+                     act: bool = True) -> jax.Array:
+    """Static int8 conv: the input scale was calibrated offline
+    (:func:`bake_static_scales`), so quantization is elementwise-only and
+    the whole quant→conv→dequant runs without any extra reduce pass."""
+    qx = quantize_act_static(x, in_scale)
+    return _int8_contract(qx, in_scale, qkernel, wscale, bias, strides,
+                          padding, groups, act, x.dtype)
 
 
 # ----------------------------------------------------------- tree rewrite
@@ -151,3 +194,55 @@ def quantize_fused_params(params: Dict[str, Any],
         else:
             out[key] = value
     return out
+
+
+def _is_quant_leaf(node: Any) -> bool:
+    return (isinstance(node, dict) and "kernel" in node
+            and "scale" in node
+            and getattr(node["kernel"], "dtype", None) == jnp.int8)
+
+
+def bake_static_scales(params: Dict[str, Any],
+                       stats: Any = None) -> Dict[str, Any]:
+    """Quantized param tree + calibration stats → static-quant tree.
+
+    ``stats`` is the (batch-maxed) ``quant_stats`` collection collected by
+    running the dynamic-quant model with ``mutable=["quant_stats"]``: a
+    tree mirroring the param tree whose conv leaves hold
+    ``{"in_absmax": scalar}``. Each int8 conv leaf gains an ``in_scale``
+    (absmax/127) that switches the serving graph to
+    :func:`int8_conv_static`. ``stats=None`` writes ``in_scale = 1.0``
+    everywhere — used to build restore templates for checkpoints saved
+    with static scales."""
+    def walk(ptree, stree):
+        out = {}
+        for key, value in ptree.items():
+            sub = stree.get(key) if isinstance(stree, dict) else None
+            if _is_quant_leaf(value):
+                leaf = dict(value)
+                if sub is not None and "in_absmax" in sub:
+                    absmax = jnp.asarray(sub["in_absmax"], jnp.float32)
+                    # sow() without a reduce_fn stores a tuple per apply
+                    absmax = jnp.max(jnp.asarray(absmax))
+                    leaf["in_scale"] = jnp.where(absmax > 0,
+                                                 absmax / 127.0, 1.0)
+                else:
+                    leaf["in_scale"] = jnp.float32(1.0)
+                out[key] = leaf
+            elif isinstance(value, dict):
+                out[key] = walk(value, sub)
+            else:
+                out[key] = value
+        return out
+
+    return walk(params, stats if stats is not None else {})
+
+
+def has_static_scales(params: Dict[str, Any]) -> bool:
+    """True if any int8 conv leaf carries a calibrated ``in_scale``."""
+    for value in params.values():
+        if _is_quant_leaf(value) and "in_scale" in value:
+            return True
+        if isinstance(value, dict) and has_static_scales(value):
+            return True
+    return False

@@ -35,6 +35,13 @@ def main():
                         "original-image coordinates (the official protocol "
                         "uses original coordinates — area ranges depend on "
                         "true pixel sizes)")
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "dynamic", "static"],
+                   help="evaluate the int8 serving path: fuse+quantize the "
+                        "restored weights; 'static' additionally calibrates "
+                        "activation scales on the first --calib_batches "
+                        "batches (the throughput-viable mode — docs/PERF.md)")
+    p.add_argument("--calib_batches", type=int, default=4)
     args = p.parse_args()
 
     if args.device == "cpu":
@@ -110,6 +117,30 @@ def main():
                         drop_last=False, num_workers=get_num_workers(),
                         seed=cfg.project.seed)
     print(f"[INFO] evaluating {len(ds)} images")
+
+    if args.quantize != "none":
+        from custom_yolo_tpu.models import fuse_params
+        from custom_yolo_tpu.ops.quant import (bake_static_scales,
+                                               quantize_fused_params)
+        variables = {"params": quantize_fused_params(
+            fuse_params(variables)["params"])}
+        model = model.clone(fused=True, quantized=True)
+        if args.quantize == "static":
+            observe = jax.jit(lambda v, x: model.apply(
+                v, x, train=False, mutable=["quant_stats"])[1]["quant_stats"])
+            agg = None
+            key0 = jax.random.key(0)
+            for _, host_batch in zip(range(args.calib_batches), loader):
+                batch = make_device_batch(host_batch, key0, train=False)
+                stats = observe(variables, batch["images"])
+                agg = stats if agg is None else jax.tree_util.tree_map(
+                    jnp.maximum, agg, stats)
+            variables = {"params": bake_static_scales(
+                variables["params"], jax.device_get(agg))}
+            print(f"[INFO] int8 static scales calibrated on "
+                  f"{args.calib_batches} batches")
+        else:
+            print("[INFO] evaluating dynamic-int8 serving path")
 
     forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
     det = DetectionMetrics(cfg.model.num_classes)

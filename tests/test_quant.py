@@ -101,6 +101,96 @@ def test_quantized_model_forward(tiny_model):
     assert corr > 0.99, corr
 
 
+def test_int8_conv_static_matches_dynamic():
+    """With in_scale set to the dynamic scale, the static conv is
+    bit-identical to the dynamic one (same quantized operands)."""
+    from custom_yolo_tpu.ops.quant import int8_conv_static
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 8, 16).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(16).astype(np.float32) * 0.01)
+    qk, s = quantize_kernel_int8(k)
+    _, ascale = quantize_act_int8(x)
+    dyn = int8_conv(x, qk, s, b)
+    stat = int8_conv_static(x, qk, s, b, ascale)
+    np.testing.assert_array_equal(np.asarray(dyn), np.asarray(stat))
+
+
+def test_detector_calibrate_static_quant(tiny_model):
+    """quantize() → calibrate(): static scales are baked, the serving
+    graph matches the dynamic one bit-for-bit on the calibration data and
+    stays accurate on unseen data; the sidecar restores the static tree."""
+    import os
+    import tempfile
+
+    from custom_yolo_tpu.models import Detector
+    from custom_yolo_tpu.ops.quant import has_static_scales
+
+    def build():
+        return Detector((3, 8, 16, 32, 64, 64), (1, 1, 1, 1, 1, 1),
+                        (False, True), num_classes=7, input_size=(64, 64),
+                        precision="float32")
+
+    det = build()
+    det.init(seed=0)
+    rng = np.random.RandomState(7)
+    cal = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    unseen = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+
+    det.fuse()
+    ref_unseen, _, _ = det._apply_eval(det.variables, unseen)
+    det.quantize()
+    dyn_cal, _, _ = det._apply_eval(det.variables, cal)
+    det.calibrate([cal])
+    assert has_static_scales(det.variables["params"])
+
+    # bit-identical on the calibration batch (identical scales)
+    stat_cal, _, _ = det._apply_eval(det.variables, cal)
+    np.testing.assert_array_equal(np.asarray(dyn_cal), np.asarray(stat_cal))
+
+    # accurate on unseen data (same distribution ⇒ scales transfer)
+    stat_unseen, _, _ = det._apply_eval(det.variables, unseen)
+    r = np.asarray(ref_unseen, np.float32).ravel()
+    g = np.asarray(stat_unseen, np.float32).ravel()
+    assert np.corrcoef(r, g)[0, 1] > 0.99
+
+    # double-calibration is rejected; sidecar roundtrip restores exactly
+    try:
+        det.calibrate([cal])
+        assert False, "expected calibrate() to refuse a second pass"
+    except AssertionError:
+        pass
+    path = os.path.join(tempfile.mkdtemp(), "ckpt")
+    det.save_weights(path)
+    det2 = build().load_weights(path)
+    got, _, _ = det2._apply_eval(det2.variables, unseen)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(stat_unseen))
+
+
+def test_static_quant_composes_with_c3k_merge(tiny_model):
+    """quantize → calibrate → C3K merge: the merged conv12 carries the
+    shared scalar in_scale (concat would fail on a 0-d leaf) and the
+    merged static graph matches the unmerged static graph exactly."""
+    from custom_yolo_tpu.models import Detector
+    from custom_yolo_tpu.models.detector import merge_c3k_params
+
+    det = Detector((3, 8, 16, 32, 128, 256), (1, 1, 1, 1, 1, 1),
+                   (True, True), num_classes=7, input_size=(64, 64),
+                   precision="float32")
+    det.init(seed=0)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    det.quantize()
+    det.calibrate([x])
+    ref, _, _ = det._apply_eval(det.variables, x)
+    merged_params = merge_c3k_params(det.variables["params"])
+    merged = det.module.clone(merged=True)
+    got, _, _ = merged.apply({"params": merged_params}, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_detector_quantize_api(tiny_model):
     """Detector.quantize(): end-to-end serve() on the int8 path."""
     from custom_yolo_tpu.models import Detector
