@@ -32,6 +32,9 @@ def main():
     p.add_argument("--static_quant", action="store_true",
                    help="int8 serving with calibrated static act scales "
                         "(quantize→calibrate; the throughput-viable mode)")
+    p.add_argument("--quant_skip", default="auto",
+                   help="'auto' (measured bf16-kept stages), 'none', or a "
+                        "comma list of backbone stage names")
     p.add_argument("--c3k_merge", action="store_true",
                    help="horizontal C3K conv1/conv2 merge (exact)")
     args = p.parse_args()
@@ -65,9 +68,14 @@ def main():
         model = model.clone(merged=True)
         variables = {"params": merge_c3k_params(variables["params"])}
     if args.quant or args.static_quant:
-        from custom_yolo_tpu.ops.quant import quantize_fused_params
-        model = model.clone(quantized=True)
-        variables = {"params": quantize_fused_params(variables["params"])}
+        from custom_yolo_tpu.ops.quant import (DEFAULT_QUANT_SKIP,
+                                               quantize_fused_params)
+        qskip = (() if args.quant_skip == "none"
+                 else DEFAULT_QUANT_SKIP if args.quant_skip == "auto"
+                 else tuple(args.quant_skip.split(",")))
+        model = model.clone(quantized=True, quant_skip=qskip)
+        variables = {"params": quantize_fused_params(variables["params"],
+                                                     skip=qskip)}
     if args.static_quant:
         # calibrate static activation scales on one random batch (a
         # throughput bench is value-independent; real deployments use

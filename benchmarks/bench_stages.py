@@ -66,7 +66,9 @@ def main():
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth stem (exact transform)")
     ap.add_argument("--quant", action="store_true",
-                    help="int8 serving path")
+                    help="int8 serving path (dynamic act scales)")
+    ap.add_argument("--static_quant", action="store_true",
+                    help="int8 with calibrated static act scales")
     ap.add_argument("--merge", action="store_true",
                     help="horizontal C3K conv1/conv2 merge (exact)")
     args = ap.parse_args()
@@ -99,11 +101,20 @@ def main():
         assert fused, "--merge requires the fused path"
         model = model.clone(merged=True)
         variables = {"params": merge_c3k_params(variables["params"])}
-    if args.quant:
+    if args.quant or args.static_quant:
         from custom_yolo_tpu.ops.quant import quantize_fused_params
         assert fused, "--quant requires the fused path"
+        args.quant = True
         model = model.clone(quantized=True)
         variables = {"params": quantize_fused_params(variables["params"])}
+    if args.static_quant:
+        from custom_yolo_tpu.ops.quant import bake_static_scales
+        cal = jnp.asarray(np.random.RandomState(1).rand(4, 640, 640, 3),
+                          policy.compute_dtype)
+        _, stats = jax.jit(lambda v, xx: model.apply(
+            v, xx, train=False, mutable=["quant_stats"]))(variables, cal)
+        variables = {"params": bake_static_scales(
+            variables["params"], jax.device_get(stats["quant_stats"]))}
 
     rng = np.random.RandomState(0)
     xb = jnp.asarray(rng.rand(B, 640, 640, 3), policy.compute_dtype)

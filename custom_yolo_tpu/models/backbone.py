@@ -73,40 +73,56 @@ class Backbone(nn.Module):
     # differentiable Pallas PSA attention in training (custom VJP) —
     # see nn.blocks.Attention.pallas_attention
     pallas_attention: bool = False
+    # stage names kept bf16 under quantized=True (selective quantization):
+    # the shallow HBM-bound stages measured SLOWER in int8 — the requant
+    # passes are pure overhead where convs are MXU-starved (docs/PERF.md
+    # per-stage table). Param tree must come from
+    # quantize_fused_params(..., skip=quant_skip).
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         w, d, c = self.width, self.depth, self.csp
         kw = dict(policy=self.policy, bn_axis_name=self.bn_axis_name,
-                  act_spec=self.act_spec, fused=self.fused,
-                  quantized=self.quantized)
-        ckw = dict(kw, merged=self.merged)
+                  act_spec=self.act_spec, fused=self.fused)
+
+        def q(name, merged=False):
+            out = dict(kw, quantized=(self.quantized
+                                      and name not in self.quant_skip))
+            if merged:
+                out["merged"] = self.merged
+            return out
 
         def down(feat, features, name):
             return ConvBN(features, kernel_size=3, strides=2, padding=1,
-                          name=name, **kw)(feat, train)
+                          name=name, **q(name))(feat, train)
 
         # p1/2
         if self.s2d_stem:
             p1 = ConvBN(w[1], kernel_size=2, strides=1,
                         padding=((1, 0), (1, 0)), name="p1_conv",
-                        **kw)(space_to_depth(x, 2), train)
+                        **q("p1_conv"))(space_to_depth(x, 2), train)
         else:
             p1 = down(x, w[1], "p1_conv")
         # p2/4
         p2 = down(p1, w[2], "p2_conv")
-        p2 = C3K2(w[3], d[0], c[0], r=4, name="p2_csp", **ckw)(p2, train)
+        p2 = C3K2(w[3], d[0], c[0], r=4, name="p2_csp",
+                  **q("p2_csp", merged=True))(p2, train)
         # p3/8
         p3 = down(p2, w[3], "p3_conv")
-        p3 = C3K2(w[4], d[1], c[0], r=4, name="p3_csp", **ckw)(p3, train)
+        p3 = C3K2(w[4], d[1], c[0], r=4, name="p3_csp",
+                  **q("p3_csp", merged=True))(p3, train)
         # p4/16
         p4 = down(p3, w[4], "p4_conv")
-        p4 = C3K2(w[4], d[2], c[1], r=2, name="p4_csp", **ckw)(p4, train)
+        p4 = C3K2(w[4], d[2], c[1], r=2, name="p4_csp",
+                  **q("p4_csp", merged=True))(p4, train)
         # p5/32
         p5 = down(p4, w[5], "p5_conv")
-        p5 = C3K2(w[5], d[3], c[1], r=2, name="p5_csp", **ckw)(p5, train)
-        p5 = SPPF(w[5], name="p5_sppf", **kw)(p5, train)
+        p5 = C3K2(w[5], d[3], c[1], r=2, name="p5_csp",
+                  **q("p5_csp", merged=True))(p5, train)
+        p5 = SPPF(w[5], name="p5_sppf", **q("p5_sppf"))(p5, train)
         p5 = PSA(d[4], name="p5_psa",
-                 pallas_attention=self.pallas_attention, **kw)(p5, train)
+                 pallas_attention=self.pallas_attention,
+                 **q("p5_psa"))(p5, train)
         return p3, p4, p5

@@ -59,6 +59,11 @@ class YoloModel(nn.Module):
     # int8 serving (requires fused=True): params from
     # ops.quant.quantize_fused_params; v5e int8 MXU is 2× bf16
     quantized: bool = False
+    # backbone stages kept in bf16 under quantized=True — the measured
+    # HBM-bound losers (int8 requant is pure overhead where the MXU is
+    # starved; per-stage data in docs/PERF.md). Must match the `skip`
+    # passed to quantize_fused_params.
+    quant_skip: Tuple[str, ...] = ()
     # horizontal C3K conv1/conv2 merge (exact, serving): params from
     # merge_c3k_params — see nn.blocks.C3K
     merged: bool = False
@@ -80,7 +85,7 @@ class YoloModel(nn.Module):
         feats = backbone_cls(self.width, self.depth, self.csp, name="net",
                              s2d_stem=self.s2d_stem, merged=self.merged,
                              pallas_attention=self.pallas_attention,
-                             **kw)(x, train)
+                             quant_skip=self.quant_skip, **kw)(x, train)
         feats = neck_cls(self.width, self.depth, self.csp, name="fpn",
                          merged=self.merged, **kw)(feats, train)
         preds, anchors, strides = Head(
@@ -335,6 +340,7 @@ class Detector:
         return {"fused": self._fused, "s2d_stem": self.module.s2d_stem,
                 "merged": self.module.merged,
                 "quantized": self.module.quantized,
+                "quant_skip": list(self.module.quant_skip),
                 "static_quant": bool(
                     self.variables is not None
                     and self.module.quantized
@@ -383,7 +389,9 @@ class Detector:
         if flags.get("quantized"):
             from custom_yolo_tpu.ops.quant import (bake_static_scales,
                                                    quantize_fused_params)
-            template = {"params": quantize_fused_params(template["params"])}
+            template = {"params": quantize_fused_params(
+                template["params"],
+                skip=tuple(flags.get("quant_skip", ())))}
             if flags.get("static_quant"):
                 template = {"params": bake_static_scales(template["params"])}
         with ocp.StandardCheckpointer() as ckptr:
@@ -391,7 +399,8 @@ class Detector:
         self.module = self.module.clone(
             s2d_stem=bool(flags.get("s2d_stem", self.module.s2d_stem)),
             merged=bool(flags.get("merged", False)),
-            quantized=bool(flags.get("quantized", False)))
+            quantized=bool(flags.get("quantized", False)),
+            quant_skip=tuple(flags.get("quant_skip", ())))
         self._tpu_optimized = bool(flags.get("merged")
                                    or flags.get("s2d_stem"))
         self.load_variables(restored)
@@ -424,11 +433,17 @@ class Detector:
         self._serve_cache.clear()
         return self
 
-    def quantize(self, stochastic: bool = False) -> "Detector":
-        """Switch to int8 serving: fuse (if needed), quantize every ConvBN
-        kernel per-output-channel to int8 (head logit projections stay
+    def quantize(self, stochastic: bool = False,
+                 skip: Any = "auto") -> "Detector":
+        """Switch to int8 serving: fuse (if needed), quantize ConvBN
+        kernels per-output-channel to int8 (head logit projections stay
         bf16), and swap in the ``quantized=True`` module. Quality: <1pt
         mAP@50 delta (test-verified on the fixture).
+
+        ``skip`` — backbone stages kept in bf16. ``"auto"`` (default) uses
+        the measured set (``ops.quant.DEFAULT_QUANT_SKIP``: the shallow
+        HBM-bound stages where int8 is pure overhead); pass ``()`` to
+        quantize everything.
 
         This leaves the model in *dynamic* activation-scale mode — correct
         but measured 2× SLOWER than bf16 at batch sizes ≥64 on v5e (the
@@ -440,10 +455,14 @@ class Detector:
             return self
         if not self._fused:
             self.fuse()
-        from custom_yolo_tpu.ops.quant import quantize_fused_params
+        from custom_yolo_tpu.ops.quant import (DEFAULT_QUANT_SKIP,
+                                               quantize_fused_params)
+        if skip == "auto":
+            skip = DEFAULT_QUANT_SKIP
+        skip = tuple(skip)
         self.variables = {"params": quantize_fused_params(
-            self.variables["params"], stochastic=stochastic)}
-        self.module = self.module.clone(quantized=True)
+            self.variables["params"], stochastic=stochastic, skip=skip)}
+        self.module = self.module.clone(quantized=True, quant_skip=skip)
         self._apply_eval = jax.jit(
             lambda v, x: self.module.apply(v, x, train=False))
         self._serve_cache.clear()

@@ -46,6 +46,15 @@ import jax
 import jax.numpy as jnp
 
 
+# Stages measured SLOWER under int8 on v5e (B=128, x preset, per-stage
+# scan timing — docs/PERF.md): the shallow HBM-bound stages where convs
+# are MXU-starved, so the int8 rate buys nothing and the static requant
+# elementwise passes are pure overhead (p1 5.89→7.67 ms, p2_conv
+# 9.41→12.51, p2_csp 33.46→40.84). Detector.quantize(skip="auto") keeps
+# these in bf16.
+DEFAULT_QUANT_SKIP = ("p1_conv", "p2_conv", "p2_csp")
+
+
 # ---------------------------------------------------------------- weights
 def quantize_kernel_int8(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(kh, kw, cin, cout) float → (int8 kernel, fp32 scale (cout,)) with
@@ -168,15 +177,23 @@ def int8_conv_static(x: jax.Array, qkernel: jax.Array, wscale: jax.Array,
 # ----------------------------------------------------------- tree rewrite
 def quantize_fused_params(params: Dict[str, Any],
                           stochastic: bool = False,
+                          skip: Tuple[str, ...] = (),
                           _path: str = "") -> Dict[str, Any]:
     """Fused param tree ({conv: {kernel, bias}}) → quantized tree
     ({conv: {kernel: int8, scale: fp32, bias: fp32}}). Leaves the head's
     final logit projections (``box{i}_out`` / ``cls{i}_out``) and any
     non-ConvBN params untouched; depthwise kernels are quantized too (they
-    are VPU-bound either way, but int8 halves their HBM reads)."""
+    are VPU-bound either way, but int8 halves their HBM reads).
+
+    ``skip`` — module names whose subtree stays bf16 (selective
+    quantization; must match the module's ``quant_skip``): the measured
+    HBM-bound stages where int8 requant is pure overhead (docs/PERF.md)."""
     out: Dict[str, Any] = {}
     for key, value in params.items():
         path = f"{_path}/{key}"
+        if key in skip:
+            out[key] = value
+            continue
         if (isinstance(value, dict) and set(value) == {"conv"}
                 and isinstance(value["conv"], dict)
                 and "kernel" in value["conv"]
@@ -190,7 +207,7 @@ def quantize_fused_params(params: Dict[str, Any],
                                  "bias": value["conv"].get(
                                      "bias", jnp.zeros(q.shape[-1]))}}
         elif isinstance(value, dict):
-            out[key] = quantize_fused_params(value, stochastic, path)
+            out[key] = quantize_fused_params(value, stochastic, skip, path)
         else:
             out[key] = value
     return out

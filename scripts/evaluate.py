@@ -120,11 +120,13 @@ def main():
 
     if args.quantize != "none":
         from custom_yolo_tpu.models import fuse_params
-        from custom_yolo_tpu.ops.quant import (bake_static_scales,
+        from custom_yolo_tpu.ops.quant import (DEFAULT_QUANT_SKIP,
+                                               bake_static_scales,
                                                quantize_fused_params)
         variables = {"params": quantize_fused_params(
-            fuse_params(variables)["params"])}
-        model = model.clone(fused=True, quantized=True)
+            fuse_params(variables)["params"], skip=DEFAULT_QUANT_SKIP)}
+        model = model.clone(fused=True, quantized=True,
+                            quant_skip=DEFAULT_QUANT_SKIP)
         if args.quantize == "static":
             observe = jax.jit(lambda v, x: model.apply(
                 v, x, train=False, mutable=["quant_stats"])[1]["quant_stats"])

@@ -188,3 +188,51 @@ def test_sharded_serve_matches_single_device(fp32_model):
     np.testing.assert_allclose(np.asarray(out.scores)[v],
                                np.asarray(ref.scores)[v], rtol=1e-5,
                                atol=1e-6)
+
+
+def test_sharded_serve_static_int8_matches_single_device(fp32_model):
+    """The static-int8 serving graph (quantize + calibrated scales) under
+    the 2×4 mesh must emit the same detections as the same graph on one
+    device — kernel-free int8 convs must partition cleanly under GSPMD
+    (the r2 blind spot was bf16-only serve coverage; the int8 path adds
+    int8 HBM tensors and scalar in_scale params to the partitioned
+    graph)."""
+    from custom_yolo_tpu.models import fuse_params
+    from custom_yolo_tpu.models.detector import decode_raw_predictions
+    from custom_yolo_tpu.ops.nms import batched_nms
+    from custom_yolo_tpu.ops.quant import (bake_static_scales,
+                                           quantize_fused_params)
+    from custom_yolo_tpu.parallel.serve import (
+        make_sharded_serve_fn, shard_serve_batch)
+
+    model, variables = fp32_model
+    qmodel = model.clone(fused=True, quantized=True)
+    qparams = quantize_fused_params(fuse_params(variables)["params"])
+    rng = np.random.RandomState(9)
+    images = jnp.asarray(rng.rand(8, 64, 64, 3).astype(np.float32))
+    _, stats = qmodel.apply({"params": qparams}, images[:2], train=False,
+                            mutable=["quant_stats"])
+    qvars = {"params": bake_static_scales(
+        qparams, jax.device_get(stats["quant_stats"]))}
+
+    preds, anchors, strides = qmodel.apply(qvars, images, train=False)
+    boxes, scores = decode_raw_predictions(preds, anchors, strides)
+    ref = batched_nms(boxes, scores.max(axis=-1),
+                      scores.argmax(axis=-1).astype(jnp.int32),
+                      conf_thres=0.01, iou_thres=0.45, max_det=32, top_k=128)
+
+    mesh = create_mesh(MeshSpec(data=2, fsdp=4))
+    serve_fn = make_sharded_serve_fn(qmodel, mesh, conf_thres=0.01,
+                                     iou_thres=0.45, max_det=32, top_k=128)
+    with jax.sharding.set_mesh(mesh):
+        out = serve_fn(qvars, shard_serve_batch(images, mesh))
+        out = jax.device_get(out)
+
+    np.testing.assert_array_equal(np.asarray(out.num_valid),
+                                  np.asarray(ref.num_valid))
+    np.testing.assert_array_equal(np.asarray(out.classes),
+                                  np.asarray(ref.classes))
+    v = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(out.boxes)[v],
+                               np.asarray(ref.boxes)[v], rtol=1e-5,
+                               atol=1e-4)
