@@ -249,6 +249,103 @@ def phase_train(root, batch_size, workers, steps):
     return stats
 
 
+def phase_fit_chunk(steps, config_path="configs/soak_coco_scale.yaml"):
+    """One resumable chunk of COCO-scale training (round 3): restore the
+    latest checkpoint (if any), run ``steps`` real train steps on the live
+    loader, save a new checkpoint, exit.
+
+    Chunked because the tunneled chip's relay client accumulates host RSS
+    per dispatch (~22 GB / 1000 steps — docs/SOAK.md; NOT a framework
+    leak, verified flat on the CPU backend): a multi-epoch run in one
+    process would exhaust host RAM. The chunk loop doubles as a
+    fault-tolerance soak — every chunk is a full crash-and-resume cycle
+    through orbax. Drive with::
+
+        for i in $(seq 1 N); do
+            python scripts/soak.py --phases fit_chunk --steps 3000
+        done
+        python scripts/evaluate.py --config configs/soak_coco_scale.yaml \
+            --coco_map
+
+    Reference workload: COCO-2017 training
+    (/root/reference/config.yaml:21-39, src/training/train_model.py).
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/custom_yolo_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from custom_yolo_tpu.config import Config
+    from custom_yolo_tpu.core.dtypes import resolve_policy
+    from custom_yolo_tpu.data.loader import get_data_loaders
+    from custom_yolo_tpu.models import YoloModel
+    from custom_yolo_tpu.train.trainer import Trainer
+    from custom_yolo_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = Config.from_yaml(config_path)
+    policy = resolve_policy(cfg.training.sharding.precision)
+    model = YoloModel(width=tuple(cfg.model.width),
+                      depth=tuple(cfg.model.depth),
+                      csp=tuple(cfg.model.csp),
+                      num_classes=cfg.model.num_classes,
+                      reg_max=cfg.model.reg_max, policy=policy,
+                      pallas_attention=cfg.model.pallas_attention)
+    variables = model.init(jax.random.key(cfg.project.seed),
+                           jnp.zeros((1, *cfg.model.input_size, 3),
+                                     policy.compute_dtype), train=False)
+    trainer = Trainer(cfg, model, variables)
+    ckpt = CheckpointManager(cfg.checkpoint.checkpoint_dir, max_to_keep=3)
+    chunk = ckpt.latest_epoch()
+    if chunk is not None:
+        # abstract template → restore lands directly on the local device
+        template = jax.eval_shape(lambda: trainer.state)
+        trainer.load_state(ckpt.restore(template))
+        print(f"[fit] resumed chunk {chunk} "
+              f"(global step {int(trainer.state.step)})", flush=True)
+    chunk = -1 if chunk is None else chunk
+
+    train_loader, _ = get_data_loaders(cfg)
+    ekey = jax.random.key(cfg.project.seed + chunk + 1)
+    batches = trainer._device_batches(train_loader, ekey, train=True)
+    _, _, batch = next(batches)
+    trainer.state, metrics = trainer.train_step(trainer.state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    t0 = time.time()
+    losses = []
+    for i in range(steps - 1):
+        try:
+            _, _, batch = next(batches)
+        except StopIteration:
+            batches = trainer._device_batches(train_loader, ekey, train=True)
+            _, _, batch = next(batches)
+        trainer.state, metrics = trainer.train_step(trainer.state, batch)
+        if (i + 2) % 500 == 0:
+            loss = float(metrics["total_loss"])
+            losses.append(round(loss, 4))
+            print(f"[fit] chunk {chunk + 1} step {i+2}/{steps} "
+                  f"loss={loss:.4f} "
+                  f"({(i + 2) * cfg.training.batch_size / (time.time() - t0):.1f} img/s, "
+                  f"rss {_peak_rss_mb():.0f} MB)", flush=True)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.time() - t0
+    ckpt.save(chunk + 1, jax.device_get(trainer.state))
+    ckpt.wait()
+    ckpt.close()
+    stats = {"chunk": chunk + 1, "steps": steps,
+             "global_step": int(trainer.state.step),
+             "images_seen": int(trainer.state.step)
+             * cfg.training.batch_size,
+             "batch": cfg.training.batch_size,
+             "wall_s": round(dt, 1),
+             "img_per_s": round(steps * cfg.training.batch_size / dt, 1),
+             "losses_per_500": losses,
+             "final_loss": float(metrics["total_loss"]),
+             "peak_rss_mb": round(_peak_rss_mb(), 1)}
+    print(f"[fit] {stats}", flush=True)
+    return stats
+
+
 def phase_eval(root, batch_size, workers):
     """Full-protocol COCO mAP over the whole val split — measures the
     round-3 vectorized evaluator (eval/coco_map.py) at the 5k-image scale
@@ -305,6 +402,7 @@ def main():
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--phases", default="gen,etl,loader")
+    p.add_argument("--fit_config", default="configs/soak_coco_scale.yaml")
     p.add_argument("--out", default="/tmp/soak_stats.json")
     args = p.parse_args()
 
@@ -326,6 +424,9 @@ def main():
         elif phase == "train":
             results["train"] = phase_train(args.root, args.batch_size,
                                            args.workers, args.steps)
+        elif phase == "fit_chunk":
+            results.setdefault("fit_chunks", []).append(
+                phase_fit_chunk(args.steps, args.fit_config))
         elif phase == "eval":
             results["eval"] = phase_eval(args.root, args.batch_size,
                                          args.workers)
