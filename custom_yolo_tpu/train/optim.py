@@ -34,12 +34,21 @@ def plateau_init() -> PlateauState:
 
 def plateau_update(state: PlateauState, val_loss: jnp.ndarray,
                    patience: int, factor: float,
-                   threshold: float = 1e-4) -> PlateauState:
+                   threshold: float = 1e-4, base_lr: float = 1.0,
+                   min_lr: float = 0.0, eps: float = 1e-8) -> PlateauState:
+    """One ``ReduceLROnPlateau.step(val_loss)`` with full torch semantics
+    (rel-threshold improvement, patience counting, ``min_lr`` floor, and the
+    ``eps`` guard that skips LR changes smaller than eps — torch defaults).
+    ``base_lr`` converts the tracked multiplicative ``scale`` into LR units
+    for the min_lr/eps comparisons (pass the optimizer's configured LR).
+    Trajectory pinned against live torch in tests/test_optim_vs_reference.py."""
     improved = val_loss < state.best * (1.0 - threshold)
     best = jnp.where(improved, val_loss, state.best)
     bad = jnp.where(improved, 0, state.bad_epochs + 1)
     trigger = bad > patience
-    scale = jnp.where(trigger, state.scale * factor, state.scale)
+    candidate = jnp.maximum(state.scale * factor, min_lr / base_lr)
+    apply = trigger & ((state.scale - candidate) * base_lr > eps)
+    scale = jnp.where(apply, candidate, state.scale)
     bad = jnp.where(trigger, 0, bad)
     return PlateauState(scale=scale, best=best, bad_epochs=bad)
 

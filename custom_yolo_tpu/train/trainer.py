@@ -162,7 +162,8 @@ class Trainer:
                 plateau = plateau_update(
                     self.state.plateau, val_loss,
                     patience=cfg.learning_rate_patience,
-                    factor=cfg.learning_rate_factor)
+                    factor=cfg.learning_rate_factor,
+                    base_lr=self.base_lr)
                 lr = self.base_lr * plateau.scale
                 self.state = self.state.replace(
                     plateau=plateau,
