@@ -111,6 +111,14 @@ class TrainingConfig:
     assigner: str = "nearest"         # "nearest" (reference parity) | "tal"
     accumulate_steps: int = 1         # gradient accumulation microbatches
     remat: bool = False               # rematerialize activations (HBM saver)
+    # EMA of params for validation/serving (0 = off; typical 0.9998).
+    # Training-quality extension — the reference has no EMA.
+    ema_decay: float = 0.0
+    ema_tau: float = 2000.0           # warm-up ramp time constant (steps)
+    # Linear LR warmup over the first N steps (0 = off). Training-quality
+    # extension — the reference starts at full LR. Composes with the
+    # plateau scheduler: effective lr = base · plateau_scale · ramp.
+    warmup_steps: int = 0
     log_interval: int = 10
     sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
 

@@ -118,6 +118,10 @@ def shard_train_state(state: Any, mesh: Mesh,
         epoch=jax.device_put(state.epoch, rep),
         rng=jax.device_put(state.rng, rep),
         plateau=jax.device_put(state.plateau, rep),
+        # EMA params mirror the param tree — same shard layout
+        ema_params=(jax.device_put(state.ema_params, param_sh)
+                    if getattr(state, "ema_params", None) is not None
+                    else state.ema_params),
     )
 
 

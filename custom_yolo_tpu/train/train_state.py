@@ -1,7 +1,7 @@
 """Train state pytree: params, batch_stats, optimizer state, step, PRNG,
-plateau-scheduler state — everything needed for exact resume (the reference
-checkpoints only {epoch, model, optimizer, val_loss}, losing scheduler and
-RNG state; SURVEY §5 checkpoint gaps)."""
+plateau-scheduler state, optional EMA params — everything needed for exact
+resume (the reference checkpoints only {epoch, model, optimizer, val_loss},
+losing scheduler and RNG state; SURVEY §5 checkpoint gaps)."""
 
 from __future__ import annotations
 
@@ -23,10 +23,15 @@ class TrainState:
     epoch: jnp.ndarray
     rng: jax.Array
     plateau: PlateauState
+    # exponential moving average of params (None when disabled) — a
+    # training-quality extension the reference lacks; standard for
+    # detection serving. Updated inside the jitted train step, evaluated /
+    # served via eval_variables, checkpointed with the rest of the state.
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, variables: Dict[str, Any], tx, rng: jax.Array
-               ) -> "TrainState":
+    def create(cls, variables: Dict[str, Any], tx, rng: jax.Array,
+               ema: bool = False) -> "TrainState":
         params = variables["params"]
         return cls(
             params=params,
@@ -36,11 +41,22 @@ class TrainState:
             epoch=jnp.asarray(0, jnp.int32),
             rng=rng,
             plateau=plateau_init(),
+            ema_params=jax.tree.map(jnp.copy, params) if ema else None,
         )
 
     @property
     def variables(self) -> Dict[str, Any]:
         v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    @property
+    def eval_variables(self) -> Dict[str, Any]:
+        """Variables for validation/serving: EMA params when tracked
+        (the averaged weights are what gets deployed), else the live ones."""
+        v = {"params": self.ema_params if self.ema_params is not None
+             else self.params}
         if self.batch_stats:
             v["batch_stats"] = self.batch_stats
         return v

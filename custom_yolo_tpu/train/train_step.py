@@ -17,12 +17,17 @@ import jax.numpy as jnp
 import optax
 
 from custom_yolo_tpu.train.losses import DetectionLoss
+from custom_yolo_tpu.train.optim import (
+    current_learning_rate, set_learning_rate)
 from custom_yolo_tpu.train.train_state import TrainState
 
 
 def make_train_step(module, loss_fn: DetectionLoss, tx,
                     donate: bool = True,
-                    accumulate_steps: int = 1) -> Callable:
+                    accumulate_steps: int = 1,
+                    ema_decay: float = 0.0,
+                    ema_tau: float = 2000.0,
+                    warmup_steps: int = 0) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: dict with
@@ -36,6 +41,19 @@ def make_train_step(module, loss_fn: DetectionLoss, tx,
     optimizer update (gradient accumulation — absent from the reference,
     SURVEY §2.2; lets the effective batch exceed HBM). N must be divisible
     by accumulate_steps; BN statistics update per microbatch.
+
+    ``ema_decay > 0`` additionally maintains an exponential moving average
+    of the params inside the same program (state.ema_params must be
+    non-None): ema ← d·ema + (1−d)·params with the standard warm-up ramp
+    d = decay · (1 − exp(−(step+1)/tau)) so early steps track the live
+    weights closely. Training extension (the reference has no EMA).
+
+    ``warmup_steps > 0`` linearly ramps the effective LR over the first N
+    steps: lr_eff = lr · min((step+1)/N, 1). The ramp is applied inside
+    the program to the injected hyperparam for this update only; the
+    persisted opt_state keeps the un-ramped LR so the host-side plateau
+    scheduler stays the single owner of the base LR. Training extension
+    (the reference starts at full LR).
     """
 
     def loss_of(params, batch_stats, batch):
@@ -78,7 +96,16 @@ def make_train_step(module, loss_fn: DetectionLoss, tx,
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         grads, metrics, new_stats = compute_grads(
             state.params, state.batch_stats, batch)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        opt_in = state.opt_state
+        if warmup_steps > 0:
+            base_lr = current_learning_rate(state.opt_state)
+            ramp = jnp.minimum(
+                (state.step + 1).astype(jnp.float32) / warmup_steps, 1.0)
+            opt_in = set_learning_rate(state.opt_state, base_lr * ramp)
+        updates, new_opt = tx.update(grads, opt_in, state.params)
+        if warmup_steps > 0:
+            # keep the base (plateau-owned) LR in the carried state
+            new_opt = set_learning_rate(new_opt, base_lr)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -89,6 +116,14 @@ def make_train_step(module, loss_fn: DetectionLoss, tx,
             step=state.step + 1,
             rng=jax.random.fold_in(state.rng, state.step),
         )
+        if ema_decay > 0.0:
+            assert state.ema_params is not None, \
+                "ema_decay set but state was created without ema=True"
+            d = ema_decay * (1.0 - jnp.exp(
+                -(state.step + 1).astype(jnp.float32) / ema_tau))
+            new_state = new_state.replace(ema_params=jax.tree.map(
+                lambda e, p: (e * d + (1.0 - d) * p).astype(e.dtype),
+                state.ema_params, new_params))
         return new_state, metrics
 
     kwargs = {"donate_argnums": (0,)} if donate else {}
@@ -102,7 +137,7 @@ def make_eval_step(module, loss_fn: DetectionLoss) -> Callable:
 
     def eval_step(state: TrainState, batch):
         preds, anchors, strides = module.apply(
-            state.variables, batch["images"], train=False)
+            state.eval_variables, batch["images"], train=False)
         loss, metrics = loss_fn(preds, anchors, strides,
                                 batch["gt_boxes"], batch["gt_labels"],
                                 batch["gt_mask"])

@@ -73,7 +73,9 @@ class Trainer:
 
         self.train_step = make_train_step(
             model, self.loss_fn, self.tx,
-            accumulate_steps=tcfg.accumulate_steps)
+            accumulate_steps=tcfg.accumulate_steps,
+            ema_decay=tcfg.ema_decay, ema_tau=tcfg.ema_tau,
+            warmup_steps=tcfg.warmup_steps)
         self.eval_step = make_eval_step(model, self.loss_fn)
 
         rng = prng.root_key(config.project.seed)
@@ -81,7 +83,8 @@ class Trainer:
         # memory reuse; the caller's `variables` must stay valid (e.g. to
         # build another Trainer)
         variables = jax.tree.map(jnp.array, variables)
-        self.state = TrainState.create(variables, self.tx, rng)
+        self.state = TrainState.create(variables, self.tx, rng,
+                                       ema=tcfg.ema_decay > 0)
         if self.mesh is not None:
             self.state = shard_train_state(
                 self.state, self.mesh,

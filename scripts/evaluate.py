@@ -42,6 +42,10 @@ def main():
                         "activation scales on the first --calib_batches "
                         "batches (the throughput-viable mode — docs/PERF.md)")
     p.add_argument("--calib_batches", type=int, default=4)
+    p.add_argument("--no_ema", action="store_true",
+                   help="evaluate the LIVE params even when the checkpoint "
+                        "tracks EMA weights (default scores the EMA tree — "
+                        "the deployed weights)")
     args = p.parse_args()
 
     if args.device == "cpu":
@@ -95,10 +99,15 @@ def main():
     if ckpt.latest_epoch() is not None:
         tx = build_optimizer(cfg.training)
         template = jax.device_get(
-            TrainState.create(variables, tx, jax.random.key(0)))
+            TrainState.create(variables, tx, jax.random.key(0),
+                              ema=cfg.training.ema_decay > 0))
         state = ckpt.restore(template, epoch=pinned_epoch)
-        variables = state.variables
-        print(f"[INFO] restored epoch {int(state.epoch)} from {ckpt_dir}")
+        # EMA params (when tracked) are the deployed weights
+        variables = state.variables if args.no_ema else state.eval_variables
+        which = ("live" if args.no_ema or state.ema_params is None
+                 else "EMA")
+        print(f"[INFO] restored epoch {int(state.epoch)} from {ckpt_dir} "
+              f"({which} params)")
     elif args.checkpoint:
         raise SystemExit(f"[ERROR] no model_epoch_* checkpoints under "
                          f"{ckpt_dir} — refusing to silently score init "

@@ -176,3 +176,35 @@ def test_checkpoint_restores_into_abstract_template(tmp_path):
     # restored arrays must be concrete and locally addressable
     assert restored.params["w"].sharding.device_set <= set(jax.local_devices())
     mgr.close()
+
+
+def test_checkpoint_roundtrips_ema(tmp_path):
+    """EMA params (training-quality extension) are part of the train state
+    and must survive save→restore — including through an abstract
+    template, the scripts/evaluate.py restore path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from custom_yolo_tpu.train.train_state import TrainState
+    from custom_yolo_tpu.utils.checkpoint import CheckpointManager
+
+    tx = optax.adamw(1e-3)
+    variables = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    state = TrainState.create(variables, tx, jax.random.key(0), ema=True)
+    state = state.replace(ema_params={"w": jnp.full((2, 3), 7.0)})
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(0, state)
+    mgr.wait()
+
+    template = jax.eval_shape(
+        lambda: TrainState.create({"params": {"w": jnp.zeros((2, 3))}},
+                                  tx, jax.random.key(0), ema=True))
+    restored = mgr.restore(template)
+    np.testing.assert_array_equal(np.asarray(restored.ema_params["w"]),
+                                  np.full((2, 3), 7.0))
+    np.testing.assert_array_equal(
+        np.asarray(restored.eval_variables["params"]["w"]),
+        np.full((2, 3), 7.0))
+    mgr.close()

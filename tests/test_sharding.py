@@ -147,6 +147,22 @@ def test_fsdp_shards_optimizer_state(fp32_model):
     assert moments_sharded >= 2 * big_param_sharded
 
 
+def test_fsdp_shards_ema_params(fp32_model):
+    """EMA params mirror the live param tree, so under fsdp they must take
+    the same shardings (a replicated EMA would double param memory and
+    defeat ZeRO-3)."""
+    import optax
+    model, variables = fp32_model
+    mesh = create_mesh(MeshSpec(data=1, fsdp=8))
+    tx = optax.adamw(1e-3)
+    state = TrainState.create(variables, tx, jax.random.key(0), ema=True)
+    with jax.sharding.set_mesh(mesh):
+        sharded = shard_train_state(state, mesh, min_weight_size=1024)
+    for p, e in zip(jax.tree.leaves(sharded.params),
+                    jax.tree.leaves(sharded.ema_params)):
+        assert p.sharding == e.sharding, (p.sharding, e.sharding)
+
+
 def test_sharded_serve_matches_single_device(fp32_model):
     """The serve/eval path (fwd + DFL decode + NMS) on a 2×4 mesh must emit
     the same detections as the single-device program (VERDICT r2 missing #2:

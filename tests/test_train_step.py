@@ -109,6 +109,115 @@ def test_lr_injection():
     assert float(current_learning_rate(opt_state)) == pytest.approx(5e-4)
 
 
+def test_ema_matches_manual(tiny_model_module, rng):
+    """EMA params must follow d·ema + (1−d)·params with the warm-up ramp
+    d = decay·(1−exp(−(step+1)/tau)), computed manually from the live
+    param trajectory (training-quality extension — no reference analog)."""
+    model, variables = tiny_model_module
+    decay, tau = 0.99, 3.0
+    cfg = TrainingConfig(learning_rate=5e-3, grad_clip=1.0)
+    tx = build_optimizer(cfg)
+    state = TrainState.create(variables, tx, jax.random.key(0), ema=True)
+    loss_fn = DetectionLoss(LossConfig(num_classes=NC))
+    step = make_train_step(model, loss_fn, tx, donate=False,
+                           ema_decay=decay, ema_tau=tau)
+    batch = _batch(rng)
+    expected = jax.tree.map(np.asarray, state.params)
+    for k in range(4):
+        state, _ = step(state, batch)
+        d = decay * (1.0 - np.exp(-(k + 1) / tau))
+        expected = jax.tree.map(
+            lambda e, p: (e * d + (1.0 - d) * np.asarray(p)).astype(e.dtype),
+            expected, state.params)
+    for e, a in zip(jax.tree.leaves(expected),
+                    jax.tree.leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), e, rtol=2e-5, atol=1e-6)
+    # EMA must lag the live params (and differ from them) after updates
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(p)).max())
+             for a, p in zip(jax.tree.leaves(state.ema_params),
+                             jax.tree.leaves(state.params))]
+    assert max(diffs) > 0
+
+
+def test_ema_eval_variables(tiny_model_module, rng):
+    """eval_variables serves the EMA weights when tracked; the eval step
+    must consume them (deployed-weights semantics)."""
+    model, variables = tiny_model_module
+    cfg = TrainingConfig(learning_rate=5e-3)
+    tx = build_optimizer(cfg)
+    state = TrainState.create(variables, tx, jax.random.key(0), ema=True)
+    assert state.eval_variables["params"] is state.ema_params
+    # without EMA, eval_variables falls back to the live params
+    plain = TrainState.create(variables, tx, jax.random.key(0))
+    assert plain.ema_params is None
+    assert plain.eval_variables["params"] is plain.params
+
+    loss_fn = DetectionLoss(LossConfig(num_classes=NC))
+    step = make_train_step(model, loss_fn, tx, donate=False,
+                           ema_decay=0.9, ema_tau=1.0)
+    batch = _batch(rng)
+    for _ in range(3):
+        state, _ = step(state, batch)
+    eval_step = make_eval_step(model, loss_fn)
+    m_ema, *_ = eval_step(state, batch)
+    # evaluating with live params must give a different loss — proves the
+    # eval step reads the EMA tree, not the live one
+    m_live, *_ = eval_step(state.replace(ema_params=state.params), batch)
+    assert float(m_ema["total_loss"]) != pytest.approx(
+        float(m_live["total_loss"]), rel=1e-6)
+
+
+def test_warmup_ramps_lr(tiny_model_module, rng):
+    """warmup_steps=N scales the effective LR by (step+1)/N: with SGD the
+    param delta of step k must be ~(k+1)/N times the post-warmup delta for
+    the same gradient; and the persisted opt_state keeps the un-ramped base
+    LR (plateau scheduler stays the owner)."""
+    import optax
+
+    from custom_yolo_tpu.core.dtypes import DTypePolicy
+    from custom_yolo_tpu.models import YoloModel
+    # fp32 compute: the warmup/plain comparison spans two separately
+    # compiled programs, and bf16 rounding under different XLA fusions
+    # breaks exact update ratios
+    model = YoloModel(width=(3, 8, 16, 32, 64, 64),
+                      depth=(1, 1, 1, 1, 1, 1), csp=(False, True),
+                      num_classes=NC,
+                      policy=DTypePolicy(compute_dtype=jnp.float32))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.sgd(learning_rate))(learning_rate=1e-2)
+    loss_fn = DetectionLoss(LossConfig(num_classes=NC))
+    N = 4
+    step = make_train_step(model, loss_fn, tx, donate=False, warmup_steps=N)
+    state = TrainState.create(variables, tx, jax.random.key(0))
+    batch = _batch(rng)
+
+    # step 0: update = lr*(1/N)*g. Reference: same state stepped without
+    # warmup gives lr*g — the deltas must be in ratio 1/N (up to fp32
+    # reduction-order noise between the two compilations).
+    plain = make_train_step(model, loss_fn, tx, donate=False)
+    s_warm, _ = step(state, batch)
+    s_plain, _ = plain(state, batch)
+    p0 = jax.tree.leaves(state.params)
+    for a, b, base in zip(jax.tree.leaves(s_warm.params),
+                          jax.tree.leaves(s_plain.params), p0):
+        np.testing.assert_allclose(np.asarray(a - base),
+                                   np.asarray(b - base) / N,
+                                   rtol=1e-3, atol=5e-7)
+    # carried opt_state still holds the base LR, not the ramped one
+    assert float(current_learning_rate(s_warm.opt_state)) == \
+        pytest.approx(1e-2)
+    # past warmup the ramp saturates at 1
+    s = state.replace(step=jnp.asarray(100, jnp.int32))
+    s_w, _ = step(s, batch)
+    s_p, _ = plain(s, batch)
+    for a, b in zip(jax.tree.leaves(s_w.params),
+                    jax.tree.leaves(s_p.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-7)
+
+
 def test_gradient_accumulation_matches_full_batch(tiny_model_module, rng):
     """accumulate_steps=2 over a batch must produce (nearly) the same
     update as the full-batch step when per-microbatch losses average the
