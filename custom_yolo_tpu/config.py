@@ -119,6 +119,12 @@ class TrainingConfig:
     # extension — the reference starts at full LR. Composes with the
     # plateau scheduler: effective lr = base · plateau_scale · ramp.
     warmup_steps: int = 0
+    # Mosaic augmentation probability per sample (0 = off; typical 0.5-1.0)
+    # and the number of FINAL epochs trained without mosaic (ultralytics
+    # "close_mosaic"). On-device 4-image mosaic — extension, the reference
+    # augments with flip/jitter only.
+    mosaic: float = 0.0
+    close_mosaic: int = 10
     log_interval: int = 10
     sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
 

@@ -85,6 +85,86 @@ def horizontal_flip(images: jnp.ndarray, gt_boxes: jnp.ndarray,
     return images, gt_boxes
 
 
+def mosaic_compose(images: jnp.ndarray, gt_boxes: jnp.ndarray,
+                   gt_labels: jnp.ndarray, gt_mask: jnp.ndarray,
+                   src_idx: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                              jnp.ndarray]:
+    """Deterministic 4-image mosaic core (randomness lives in
+    :func:`mosaic`; this is separately drivable for exact-geometry tests).
+
+    Output image i is the H×W window at offset ``(oy[i], ox[i])`` of the
+    2H×2W canvas tiling sources ``src_idx[i] = (tl, tr, bl, br)``. This is
+    the classic YOLO mosaic restated for TPU: full-res quadrants + one
+    ``dynamic_slice`` crop — every shape static, no per-sample resize
+    (ultralytics builds the same canvas then crops around a random
+    center). Boxes are shifted into window coordinates, clipped, and
+    dropped when degenerate (<2px a side); each output keeps the G
+    highest-validity slots of the 4G candidates (the crop covers 1/4 of
+    the canvas, so ~G survive on average).
+    """
+    n, h, w, _ = images.shape
+    g = gt_boxes.shape[1]
+    quads = images[src_idx]                              # (N, 4, H, W, 3)
+    top = jnp.concatenate([quads[:, 0], quads[:, 1]], axis=2)
+    bot = jnp.concatenate([quads[:, 2], quads[:, 3]], axis=2)
+    canvas = jnp.concatenate([top, bot], axis=1)         # (N, 2H, 2W, 3)
+    crop = jax.vmap(
+        lambda c, y, x: jax.lax.dynamic_slice(c, (y, x, 0), (h, w, 3))
+    )(canvas, oy, ox)
+
+    # boxes → canvas coords (+quadrant offset) → window coords (−crop)
+    qoff = jnp.asarray([[0, 0], [w, 0], [0, h], [w, h]], jnp.float32)
+    b = gt_boxes[src_idx]                                # (N, 4, G, 4)
+    labels = gt_labels[src_idx].reshape(n, 4 * g)
+    mask = gt_mask[src_idx].reshape(n, 4 * g)
+    cx = b[..., 0] + qoff[None, :, None, 0] - ox[:, None, None]
+    cy = b[..., 1] + qoff[None, :, None, 1] - oy[:, None, None]
+    x1 = jnp.clip(cx - b[..., 2] / 2, 0.0, float(w))
+    x2 = jnp.clip(cx + b[..., 2] / 2, 0.0, float(w))
+    y1 = jnp.clip(cy - b[..., 3] / 2, 0.0, float(h))
+    y2 = jnp.clip(cy + b[..., 3] / 2, 0.0, float(h))
+    bw, bh = x2 - x1, y2 - y1
+    boxes = jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2, bw, bh],
+                      axis=-1).reshape(n, 4 * g, 4)
+    valid = mask & (bw > 2.0).reshape(n, 4 * g) \
+                 & (bh > 2.0).reshape(n, 4 * g)
+
+    # valid-first stable order, truncate to the original G slots
+    order = jnp.argsort(~valid, axis=1, stable=True)[:, :g]
+    out_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    out_labels = jnp.take_along_axis(labels, order, axis=1)
+    out_mask = jnp.take_along_axis(valid, order, axis=1)
+    out_boxes = out_boxes * out_mask[..., None]          # zero the padding
+    return crop, out_boxes, out_labels, out_mask
+
+
+def mosaic(images: jnp.ndarray, gt_boxes: jnp.ndarray,
+           gt_labels: jnp.ndarray, gt_mask: jnp.ndarray,
+           key: jax.Array, prob: float
+           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-sample random mosaic with probability ``prob`` (training
+    extension — the reference augments with flip/jitter only,
+    ``src/data/transforms.py:8-13``). Sample i mixes itself with three
+    images drawn by batch permutations; the crop offset is uniform over
+    the canvas, so the window always contains parts of ≥1 source."""
+    n, h, w, _ = images.shape
+    kp, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+    src_idx = jnp.stack([jnp.arange(n),
+                         jax.random.permutation(k1, n),
+                         jax.random.permutation(k2, n),
+                         jax.random.permutation(k3, n)], axis=1)
+    oy = jax.random.randint(k4, (n,), 0, h + 1)
+    ox = jax.random.randint(k5, (n,), 0, w + 1)
+    m_img, m_boxes, m_labels, m_mask = mosaic_compose(
+        images, gt_boxes, gt_labels, gt_mask, src_idx, ox, oy)
+    apply = jax.random.bernoulli(kp, prob, (n,))
+    return (jnp.where(apply[:, None, None, None], m_img, images),
+            jnp.where(apply[:, None, None], m_boxes, gt_boxes),
+            jnp.where(apply[:, None], m_labels, gt_labels),
+            jnp.where(apply[:, None], m_mask, gt_mask))
+
+
 @functools.partial(jax.jit, static_argnames=("train",),
                    donate_argnums=(0,))
 def batch_preprocess(images_u8: jnp.ndarray, gt_boxes: jnp.ndarray,
@@ -98,6 +178,27 @@ def batch_preprocess(images_u8: jnp.ndarray, gt_boxes: jnp.ndarray,
         x = color_jitter(x, kj)
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
     return x, gt_boxes
+
+
+@functools.partial(jax.jit, static_argnames=("train", "mosaic_prob"),
+                   donate_argnums=(0,))
+def batch_augment(images_u8: jnp.ndarray, gt_boxes: jnp.ndarray,
+                  gt_labels: jnp.ndarray, gt_mask: jnp.ndarray,
+                  key: jax.Array, train: bool = True,
+                  mosaic_prob: float = 0.0):
+    """Full label-aware augmentation program: optional mosaic (needs
+    labels/mask, unlike :func:`batch_preprocess`) → flip → jitter →
+    normalize, one XLA program over the whole batch."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    if train:
+        km, kf, kj = jax.random.split(key, 3)
+        if mosaic_prob > 0.0:
+            x, gt_boxes, gt_labels, gt_mask = mosaic(
+                x, gt_boxes, gt_labels, gt_mask, km, mosaic_prob)
+        x, gt_boxes = horizontal_flip(x, gt_boxes, kf)
+        x = color_jitter(x, kj)
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    return x, gt_boxes, gt_labels, gt_mask
 
 
 def letterbox_resize(image: jnp.ndarray, target: Tuple[int, int],
@@ -121,9 +222,18 @@ def letterbox_resize(image: jnp.ndarray, target: Tuple[int, int],
     return out, scale, (pad_x, pad_y)
 
 
-def make_device_batch(host_batch: Dict, key: jax.Array, train: bool = True
-                      ) -> Dict[str, jnp.ndarray]:
+def make_device_batch(host_batch: Dict, key: jax.Array, train: bool = True,
+                      mosaic_prob: float = 0.0) -> Dict[str, jnp.ndarray]:
     """Host uint8 batch dict → device batch dict consumed by train_step."""
+    if train and mosaic_prob > 0.0:
+        images, gt_boxes, gt_labels, gt_mask = batch_augment(
+            jnp.asarray(host_batch["image"]),
+            jnp.asarray(host_batch["gt_boxes"]),
+            jnp.asarray(host_batch["gt_labels"]),
+            jnp.asarray(host_batch["gt_mask"]),
+            key, train=True, mosaic_prob=mosaic_prob)
+        return {"images": images, "gt_boxes": gt_boxes,
+                "gt_labels": gt_labels, "gt_mask": gt_mask}
     images, gt_boxes = batch_preprocess(
         jnp.asarray(host_batch["image"]),
         jnp.asarray(host_batch["gt_boxes"]), key, train=train)

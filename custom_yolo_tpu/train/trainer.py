@@ -111,13 +111,16 @@ class Trainer:
         else:
             print(msg)
 
-    def _device_batch(self, host_batch, key, train: bool):
-        batch = make_device_batch(host_batch, key, train=train)
+    def _device_batch(self, host_batch, key, train: bool,
+                      mosaic_prob: float = 0.0):
+        batch = make_device_batch(host_batch, key, train=train,
+                                  mosaic_prob=mosaic_prob)
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
         return batch
 
-    def _device_batches(self, loader, ekey, train: bool):
+    def _device_batches(self, loader, ekey, train: bool,
+                        mosaic_prob: float = 0.0):
         """Yield ``(step, host_batch, device_batch)`` with device staging
         ahead of consumption (``data.pin_memory``): batch N+1's H2D transfer
         + on-device augment are *dispatched* (async) while the caller is
@@ -130,7 +133,8 @@ class Trainer:
         for step, host_batch in enumerate(loader):
             key = jax.random.fold_in(ekey, step)
             buf.append((step, host_batch,
-                        self._device_batch(host_batch, key, train)))
+                        self._device_batch(host_batch, key, train,
+                                           mosaic_prob=mosaic_prob)))
             if len(buf) >= depth:
                 yield buf.popleft()
         while buf:
@@ -142,6 +146,7 @@ class Trainer:
         cfg = self.config.training
         ckpt_cfg = self.config.checkpoint
         epochs = epochs if epochs is not None else cfg.epochs
+        self._epochs_total = epochs   # close_mosaic gating in _train_epoch
         start_epoch = int(self.state.epoch)
         # best-model tracking per checkpoint.best_model_metric/mode
         # (decorative keys in the reference — live here). "val/loss" (the
@@ -224,10 +229,16 @@ class Trainer:
         cfg = self.config.training
         loader.set_epoch(epoch)
         ekey = prng.epoch_key(prng.root_key(self.config.project.seed), epoch)
+        # mosaic disabled for the final close_mosaic epochs (train on clean
+        # images before the end — ultralytics convention)
+        total = getattr(self, "_epochs_total", cfg.epochs)
+        mosaic_prob = (cfg.mosaic if cfg.mosaic > 0
+                       and epoch < total - cfg.close_mosaic else 0.0)
         sums: Dict[str, float] = {}
         count = 0
         pending = None
-        for step, _, batch in self._device_batches(loader, ekey, train=True):
+        for step, _, batch in self._device_batches(
+                loader, ekey, train=True, mosaic_prob=mosaic_prob):
             self.state, metrics = self.train_step(self.state, batch)
             pending = metrics
             count += 1

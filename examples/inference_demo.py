@@ -44,9 +44,11 @@ def main():
     if ckpt.latest_epoch() is not None:
         tx = build_optimizer(cfg.training)
         template = jax.device_get(TrainState.create(
-            det.variables, tx, jax.random.key(0)))
+            det.variables, tx, jax.random.key(0),
+            ema=cfg.training.ema_decay > 0))
         state = ckpt.restore(template)
-        det.load_variables(state.variables)
+        # EMA weights (when tracked) are the deployed ones
+        det.load_variables(state.eval_variables)
         print(f"[INFO] restored epoch {int(state.epoch)}")
     else:
         print("[WARN] no checkpoint; using random init")

@@ -237,6 +237,107 @@ def test_device_transforms():
     assert db["images"].shape == (4, 32, 32, 3)
 
 
+def test_mosaic_compose_exact_geometry():
+    """Deterministic mosaic core vs hand-computed placement: 4 constant-
+    color 32² images, center crop (ox=oy=16) → each output quadrant is one
+    source; each source's 20² centered box clips to a 10² corner box."""
+    import jax.numpy as jnp
+    from custom_yolo_tpu.data.transforms import mosaic_compose
+
+    n, h, w, g = 4, 32, 32, 4
+    colors = np.asarray([[0.1, 0.1, 0.1], [0.3, 0.3, 0.3],
+                         [0.5, 0.5, 0.5], [0.9, 0.9, 0.9]], np.float32)
+    images = np.broadcast_to(colors[:, None, None, :],
+                             (n, h, w, 3)).copy()
+    boxes = np.zeros((n, g, 4), np.float32)
+    boxes[:, 0] = [16, 16, 20, 20]
+    labels = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None],
+                             (n, g)).copy()
+    mask = np.zeros((n, g), bool)
+    mask[:, 0] = True
+
+    src_idx = np.broadcast_to(np.arange(4), (n, 4)).copy()
+    ox = np.full((n,), 16, np.int32)
+    oy = np.full((n,), 16, np.int32)
+    img, b, lab, m = mosaic_compose(
+        jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(labels),
+        jnp.asarray(mask), jnp.asarray(src_idx), jnp.asarray(ox),
+        jnp.asarray(oy))
+    img, b, lab, m = map(np.asarray, (img, b, lab, m))
+
+    # pixels: window [16,48)² of the canvas → one source per quadrant
+    full = np.empty((16, 16, 3), np.float32)
+    for out_i in range(n):
+        for quad, (ys, xs) in enumerate([(slice(0, 16), slice(0, 16)),
+                                         (slice(0, 16), slice(16, 32)),
+                                         (slice(16, 32), slice(0, 16)),
+                                         (slice(16, 32), slice(16, 32))]):
+            full[:] = colors[quad]
+            np.testing.assert_allclose(img[out_i, ys, xs], full)
+    # boxes: each source box (6,6)-(26,26) lands in its window corner,
+    # clipped to 10²; valid-first stable order preserves source order
+    expect = np.asarray([[5, 5, 10, 10], [27, 5, 10, 10],
+                         [5, 27, 10, 10], [27, 27, 10, 10]], np.float32)
+    assert m.all()
+    np.testing.assert_allclose(b[0], expect)
+    np.testing.assert_array_equal(lab[0], [0, 1, 2, 3])
+
+    # zero-offset crop = pure source 0: the other three sources' boxes
+    # clip to zero width and are dropped
+    img0, b0, lab0, m0 = map(np.asarray, mosaic_compose(
+        jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(labels),
+        jnp.asarray(mask), jnp.asarray(src_idx),
+        jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32)))
+    np.testing.assert_allclose(img0[0], images[0])
+    assert m0[0].sum() == 1
+    np.testing.assert_allclose(b0[0, 0], [16, 16, 20, 20])
+    assert lab0[0, 0] == 0
+    # masked slots are zeroed
+    np.testing.assert_allclose(b0[0, 1:], 0.0)
+
+
+def test_mosaic_random_wrapper():
+    import jax
+    import jax.numpy as jnp
+    from custom_yolo_tpu.data.transforms import make_device_batch, mosaic
+
+    rng = np.random.RandomState(1)
+    n, h, w, g = 8, 32, 32, 6
+    images = rng.rand(n, h, w, 3).astype(np.float32)
+    boxes = (rng.rand(n, g, 4) * 12 + 8).astype(np.float32)
+    labels = rng.randint(0, 5, (n, g)).astype(np.int32)
+    mask = rng.rand(n, g) > 0.3
+    key = jax.random.key(7)
+
+    # prob=0 → identity
+    i0, b0, l0, m0 = mosaic(jnp.asarray(images), jnp.asarray(boxes),
+                            jnp.asarray(labels), jnp.asarray(mask),
+                            key, 0.0)
+    np.testing.assert_allclose(np.asarray(i0), images)
+    np.testing.assert_allclose(np.asarray(b0), boxes)
+
+    # prob=1 → every kept box inside the window, labels from the source
+    # label set, pixels are a rearrangement of source pixels
+    i1, b1, l1, m1 = map(np.asarray, mosaic(
+        jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(labels),
+        jnp.asarray(mask), key, 1.0))
+    kept = np.asarray(m1)
+    bb = np.asarray(b1)
+    x1 = bb[..., 0] - bb[..., 2] / 2
+    x2 = bb[..., 0] + bb[..., 2] / 2
+    assert (x1[kept] >= -1e-4).all() and (x2[kept] <= w + 1e-4).all()
+    assert (bb[kept][:, 2:] > 2.0).all()
+    assert np.isin(np.asarray(l1)[kept], labels).all()
+
+    # full device-batch path with mosaic on
+    host_batch = {"image": (images * 255).astype(np.uint8),
+                  "gt_boxes": boxes, "gt_labels": labels, "gt_mask": mask}
+    db = make_device_batch(host_batch, key, train=True, mosaic_prob=0.5)
+    assert db["images"].shape == (n, h, w, 3)
+    assert db["gt_boxes"].shape == (n, g, 4)
+    assert bool(jnp.all(jnp.isfinite(db["images"])))
+
+
 def test_letterbox_resize():
     import jax.numpy as jnp
     from custom_yolo_tpu.data.transforms import letterbox_resize
