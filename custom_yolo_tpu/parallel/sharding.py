@@ -118,10 +118,13 @@ def shard_train_state(state: Any, mesh: Mesh,
         epoch=jax.device_put(state.epoch, rep),
         rng=jax.device_put(state.rng, rep),
         plateau=jax.device_put(state.plateau, rep),
-        # EMA params mirror the param tree — same shard layout
+        # EMA trees mirror their live counterparts' shard layouts
         ema_params=(jax.device_put(state.ema_params, param_sh)
                     if getattr(state, "ema_params", None) is not None
                     else state.ema_params),
+        ema_batch_stats=(jax.device_put(state.ema_batch_stats, rep)
+                         if getattr(state, "ema_batch_stats", None)
+                         else state.ema_batch_stats),
     )
 
 

@@ -23,11 +23,16 @@ class TrainState:
     epoch: jnp.ndarray
     rng: jax.Array
     plateau: PlateauState
-    # exponential moving average of params (None when disabled) — a
-    # training-quality extension the reference lacks; standard for
-    # detection serving. Updated inside the jitted train step, evaluated /
+    # exponential moving average of params AND batch_stats (None when
+    # disabled) — a training-quality extension the reference lacks;
+    # standard for detection serving (ultralytics ModelEMA averages
+    # buffers too: EMA conv weights paired with LIVE BN statistics are
+    # statistically inconsistent — the running stats were accumulated
+    # under different weights — and measurably collapse detection
+    # confidence). Updated inside the jitted train step, evaluated /
     # served via eval_variables, checkpointed with the rest of the state.
     ema_params: Any = None
+    ema_batch_stats: Any = None
 
     @classmethod
     def create(cls, variables: Dict[str, Any], tx, rng: jax.Array,
@@ -42,6 +47,9 @@ class TrainState:
             rng=rng,
             plateau=plateau_init(),
             ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+            ema_batch_stats=(jax.tree.map(
+                jnp.copy, variables.get("batch_stats", {}))
+                if ema else None),
         )
 
     @property
@@ -53,10 +61,13 @@ class TrainState:
 
     @property
     def eval_variables(self) -> Dict[str, Any]:
-        """Variables for validation/serving: EMA params when tracked
-        (the averaged weights are what gets deployed), else the live ones."""
-        v = {"params": self.ema_params if self.ema_params is not None
-             else self.params}
+        """Variables for validation/serving: the EMA tree when tracked
+        (the averaged weights — params AND BN statistics — are what gets
+        deployed), else the live ones."""
+        ema = self.ema_params is not None
+        v = {"params": self.ema_params if ema else self.params}
         if self.batch_stats:
-            v["batch_stats"] = self.batch_stats
+            v["batch_stats"] = (self.ema_batch_stats
+                                if ema and self.ema_batch_stats
+                                else self.batch_stats)
         return v

@@ -43,8 +43,9 @@ def make_train_step(module, loss_fn: DetectionLoss, tx,
     by accumulate_steps; BN statistics update per microbatch.
 
     ``ema_decay > 0`` additionally maintains an exponential moving average
-    of the params inside the same program (state.ema_params must be
-    non-None): ema ← d·ema + (1−d)·params with the standard warm-up ramp
+    of the params and BN batch_stats inside the same program
+    (state.ema_params must be non-None):
+    ema ← d·ema + (1−d)·params with the standard warm-up ramp
     d = decay · (1 − exp(−(step+1)/tau)) so early steps track the live
     weights closely. Training extension (the reference has no EMA).
 
@@ -121,9 +122,15 @@ def make_train_step(module, loss_fn: DetectionLoss, tx,
                 "ema_decay set but state was created without ema=True"
             d = ema_decay * (1.0 - jnp.exp(
                 -(state.step + 1).astype(jnp.float32) / ema_tau))
-            new_state = new_state.replace(ema_params=jax.tree.map(
-                lambda e, p: (e * d + (1.0 - d) * p).astype(e.dtype),
-                state.ema_params, new_params))
+            blend = lambda e, p: (e * d + (1.0 - d) * p).astype(e.dtype)
+            new_state = new_state.replace(
+                ema_params=jax.tree.map(blend, state.ema_params,
+                                        new_params),
+                # BN statistics are averaged too (ultralytics buffers
+                # semantics): EMA weights with live running stats are
+                # inconsistent and collapse detection confidence
+                ema_batch_stats=jax.tree.map(blend, state.ema_batch_stats,
+                                             new_stats))
         return new_state, metrics
 
     kwargs = {"donate_argnums": (0,)} if donate else {}

@@ -123,15 +123,21 @@ def test_ema_matches_manual(tiny_model_module, rng):
                            ema_decay=decay, ema_tau=tau)
     batch = _batch(rng)
     expected = jax.tree.map(np.asarray, state.params)
+    expected_bs = jax.tree.map(np.asarray, state.batch_stats)
     for k in range(4):
         state, _ = step(state, batch)
         d = decay * (1.0 - np.exp(-(k + 1) / tau))
-        expected = jax.tree.map(
-            lambda e, p: (e * d + (1.0 - d) * np.asarray(p)).astype(e.dtype),
-            expected, state.params)
+        blend = lambda e, p: (e * d + (1.0 - d)
+                              * np.asarray(p)).astype(e.dtype)
+        expected = jax.tree.map(blend, expected, state.params)
+        expected_bs = jax.tree.map(blend, expected_bs, state.batch_stats)
     for e, a in zip(jax.tree.leaves(expected),
                     jax.tree.leaves(state.ema_params)):
         np.testing.assert_allclose(np.asarray(a), e, rtol=2e-5, atol=1e-6)
+    # BN statistics are EMA'd too (buffers semantics)
+    for e, a in zip(jax.tree.leaves(expected_bs),
+                    jax.tree.leaves(state.ema_batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), e, rtol=2e-4, atol=1e-5)
     # EMA must lag the live params (and differ from them) after updates
     diffs = [float(np.abs(np.asarray(a) - np.asarray(p)).max())
              for a, p in zip(jax.tree.leaves(state.ema_params),
@@ -147,10 +153,14 @@ def test_ema_eval_variables(tiny_model_module, rng):
     tx = build_optimizer(cfg)
     state = TrainState.create(variables, tx, jax.random.key(0), ema=True)
     assert state.eval_variables["params"] is state.ema_params
+    if state.batch_stats:
+        assert state.eval_variables["batch_stats"] is state.ema_batch_stats
     # without EMA, eval_variables falls back to the live params
     plain = TrainState.create(variables, tx, jax.random.key(0))
     assert plain.ema_params is None
     assert plain.eval_variables["params"] is plain.params
+    if plain.batch_stats:
+        assert plain.eval_variables["batch_stats"] is plain.batch_stats
 
     loss_fn = DetectionLoss(LossConfig(num_classes=NC))
     step = make_train_step(model, loss_fn, tx, donate=False,
