@@ -40,6 +40,10 @@ def main():
                    help="optax.flatten(adamw): one fused update over a "
                         "single flat parameter vector instead of ~626 "
                         "per-leaf update chains")
+    p.add_argument("--ema", action="store_true",
+                   help="maintain the EMA of params+batch_stats in the "
+                        "step (training.ema_decay) — measures the "
+                        "elementwise-update overhead")
     args = p.parse_args()
 
     import jax
@@ -139,7 +143,10 @@ def main():
 
     def bench_fn(params, batch_stats, opt_state, images):
         def body(carry, i):
-            params, batch_stats, opt_state = carry
+            if args.ema:
+                params, batch_stats, opt_state, ema_p, ema_bs = carry
+            else:
+                params, batch_stats, opt_state = carry
             xi = images + (i.astype(images.dtype) * 1e-6)
             if acc_n > 1:
                 micro = xi.reshape(acc_n, b // acc_n, *xi.shape[1:])
@@ -158,9 +165,19 @@ def main():
                 (loss, new_stats), grads = grad_fn(params, batch_stats, xi)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if args.ema:
+                d = 0.9998 * (1.0 - jnp.exp(
+                    -(i.astype(jnp.float32) + 1.0) / 2000.0))
+                blend = lambda e, q: (e * d + (1.0 - d) * q).astype(e.dtype)
+                ema_p = jax.tree.map(blend, ema_p, params)
+                ema_bs = jax.tree.map(blend, ema_bs, new_stats)
+                return (params, new_stats, opt_state, ema_p, ema_bs), loss
             return (params, new_stats, opt_state), loss
-        carry, losses = jax.lax.scan(
-            body, (params, batch_stats, opt_state), jnp.arange(iters))
+        init = ((params, batch_stats, opt_state,
+                 jax.tree.map(jnp.copy, params),
+                 jax.tree.map(jnp.copy, batch_stats))
+                if args.ema else (params, batch_stats, opt_state))
+        carry, losses = jax.lax.scan(body, init, jnp.arange(iters))
         return losses[-1]
 
     f = jax.jit(bench_fn)
@@ -178,6 +195,8 @@ def main():
         tag += "_pattn"
     if args.flat_optimizer:
         tag += "_flatopt"
+    if args.ema:
+        tag += "_ema"
     print(json.dumps({
         "metric": f"train_step_throughput_{args.input_size}_bf16_"
                   f"{args.preset}_{tag}",

@@ -125,6 +125,9 @@ class TrainingConfig:
     # augments with flip/jitter only.
     mosaic: float = 0.0
     close_mosaic: int = 10
+    # Mixup probability per sample (0 = off; typical 0.1). Applied after
+    # mosaic; Beta(32,32) blend keeping the union of both label sets.
+    mixup: float = 0.0
     log_interval: int = 10
     sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
 

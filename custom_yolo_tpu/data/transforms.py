@@ -165,6 +165,51 @@ def mosaic(images: jnp.ndarray, gt_boxes: jnp.ndarray,
             jnp.where(apply[:, None], m_mask, gt_mask))
 
 
+def mixup_compose(images: jnp.ndarray, gt_boxes: jnp.ndarray,
+                  gt_labels: jnp.ndarray, gt_mask: jnp.ndarray,
+                  perm: jnp.ndarray, lam: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]:
+    """Deterministic mixup core: output i blends image i with image
+    ``perm[i]`` at weight ``lam[i]`` and keeps the UNION of both images'
+    boxes at full strength (detection mixup does not weight labels —
+    both objects are genuinely visible in the blend). The 2G candidates
+    are truncated back to the padded G slots valid-first."""
+    n = images.shape[0]
+    g = gt_boxes.shape[1]
+    img = lam[:, None, None, None] * images \
+        + (1.0 - lam[:, None, None, None]) * images[perm]
+    boxes = jnp.concatenate([gt_boxes, gt_boxes[perm]], axis=1)
+    labels = jnp.concatenate([gt_labels, gt_labels[perm]], axis=1)
+    valid = jnp.concatenate([gt_mask, gt_mask[perm]], axis=1)
+    order = jnp.argsort(~valid, axis=1, stable=True)[:, :g]
+    out_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    out_labels = jnp.take_along_axis(labels, order, axis=1)
+    out_mask = jnp.take_along_axis(valid, order, axis=1)
+    out_boxes = out_boxes * out_mask[..., None]
+    return img, out_boxes, out_labels, out_mask
+
+
+def mixup(images: jnp.ndarray, gt_boxes: jnp.ndarray,
+          gt_labels: jnp.ndarray, gt_mask: jnp.ndarray,
+          key: jax.Array, prob: float, alpha: float = 32.0
+          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-sample random mixup with probability ``prob`` (training
+    extension; ultralytics pairs mosaics with Beta(32,32) weights — a
+    blend near 0.5 where both scenes stay clearly visible)."""
+    n = images.shape[0]
+    kp, kperm, klam = jax.random.split(key, 3)
+    perm = jax.random.permutation(kperm, n)
+    lam = jax.random.beta(klam, alpha, alpha, (n,)).astype(images.dtype)
+    m_img, m_boxes, m_labels, m_mask = mixup_compose(
+        images, gt_boxes, gt_labels, gt_mask, perm, lam)
+    apply = jax.random.bernoulli(kp, prob, (n,))
+    return (jnp.where(apply[:, None, None, None], m_img, images),
+            jnp.where(apply[:, None, None], m_boxes, gt_boxes),
+            jnp.where(apply[:, None], m_labels, gt_labels),
+            jnp.where(apply[:, None], m_mask, gt_mask))
+
+
 @functools.partial(jax.jit, static_argnames=("train",),
                    donate_argnums=(0,))
 def batch_preprocess(images_u8: jnp.ndarray, gt_boxes: jnp.ndarray,
@@ -180,21 +225,25 @@ def batch_preprocess(images_u8: jnp.ndarray, gt_boxes: jnp.ndarray,
     return x, gt_boxes
 
 
-@functools.partial(jax.jit, static_argnames=("train", "mosaic_prob"),
+@functools.partial(jax.jit,
+                   static_argnames=("train", "mosaic_prob", "mixup_prob"),
                    donate_argnums=(0,))
 def batch_augment(images_u8: jnp.ndarray, gt_boxes: jnp.ndarray,
                   gt_labels: jnp.ndarray, gt_mask: jnp.ndarray,
                   key: jax.Array, train: bool = True,
-                  mosaic_prob: float = 0.0):
-    """Full label-aware augmentation program: optional mosaic (needs
-    labels/mask, unlike :func:`batch_preprocess`) → flip → jitter →
-    normalize, one XLA program over the whole batch."""
+                  mosaic_prob: float = 0.0, mixup_prob: float = 0.0):
+    """Full label-aware augmentation program: optional mosaic → optional
+    mixup (both need labels/mask, unlike :func:`batch_preprocess`) →
+    flip → jitter → normalize, one XLA program over the whole batch."""
     x = images_u8.astype(jnp.float32) / 255.0
     if train:
-        km, kf, kj = jax.random.split(key, 3)
+        km, kx, kf, kj = jax.random.split(key, 4)
         if mosaic_prob > 0.0:
             x, gt_boxes, gt_labels, gt_mask = mosaic(
                 x, gt_boxes, gt_labels, gt_mask, km, mosaic_prob)
+        if mixup_prob > 0.0:
+            x, gt_boxes, gt_labels, gt_mask = mixup(
+                x, gt_boxes, gt_labels, gt_mask, kx, mixup_prob)
         x, gt_boxes = horizontal_flip(x, gt_boxes, kf)
         x = color_jitter(x, kj)
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
@@ -223,15 +272,17 @@ def letterbox_resize(image: jnp.ndarray, target: Tuple[int, int],
 
 
 def make_device_batch(host_batch: Dict, key: jax.Array, train: bool = True,
-                      mosaic_prob: float = 0.0) -> Dict[str, jnp.ndarray]:
+                      mosaic_prob: float = 0.0, mixup_prob: float = 0.0
+                      ) -> Dict[str, jnp.ndarray]:
     """Host uint8 batch dict → device batch dict consumed by train_step."""
-    if train and mosaic_prob > 0.0:
+    if train and (mosaic_prob > 0.0 or mixup_prob > 0.0):
         images, gt_boxes, gt_labels, gt_mask = batch_augment(
             jnp.asarray(host_batch["image"]),
             jnp.asarray(host_batch["gt_boxes"]),
             jnp.asarray(host_batch["gt_labels"]),
             jnp.asarray(host_batch["gt_mask"]),
-            key, train=True, mosaic_prob=mosaic_prob)
+            key, train=True, mosaic_prob=mosaic_prob,
+            mixup_prob=mixup_prob)
         return {"images": images, "gt_boxes": gt_boxes,
                 "gt_labels": gt_labels, "gt_mask": gt_mask}
     images, gt_boxes = batch_preprocess(

@@ -112,15 +112,16 @@ class Trainer:
             print(msg)
 
     def _device_batch(self, host_batch, key, train: bool,
-                      mosaic_prob: float = 0.0):
+                      mosaic_prob: float = 0.0, mixup_prob: float = 0.0):
         batch = make_device_batch(host_batch, key, train=train,
-                                  mosaic_prob=mosaic_prob)
+                                  mosaic_prob=mosaic_prob,
+                                  mixup_prob=mixup_prob)
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
         return batch
 
     def _device_batches(self, loader, ekey, train: bool,
-                        mosaic_prob: float = 0.0):
+                        mosaic_prob: float = 0.0, mixup_prob: float = 0.0):
         """Yield ``(step, host_batch, device_batch)`` with device staging
         ahead of consumption (``data.pin_memory``): batch N+1's H2D transfer
         + on-device augment are *dispatched* (async) while the caller is
@@ -134,7 +135,8 @@ class Trainer:
             key = jax.random.fold_in(ekey, step)
             buf.append((step, host_batch,
                         self._device_batch(host_batch, key, train,
-                                           mosaic_prob=mosaic_prob)))
+                                           mosaic_prob=mosaic_prob,
+                                           mixup_prob=mixup_prob)))
             if len(buf) >= depth:
                 yield buf.popleft()
         while buf:
@@ -229,16 +231,18 @@ class Trainer:
         cfg = self.config.training
         loader.set_epoch(epoch)
         ekey = prng.epoch_key(prng.root_key(self.config.project.seed), epoch)
-        # mosaic disabled for the final close_mosaic epochs (train on clean
-        # images before the end — ultralytics convention)
+        # mosaic/mixup disabled for the final close_mosaic epochs (train on
+        # clean images before the end — ultralytics convention)
         total = getattr(self, "_epochs_total", cfg.epochs)
-        mosaic_prob = (cfg.mosaic if cfg.mosaic > 0
-                       and epoch < total - cfg.close_mosaic else 0.0)
+        heavy_aug = epoch < total - cfg.close_mosaic
+        mosaic_prob = cfg.mosaic if cfg.mosaic > 0 and heavy_aug else 0.0
+        mixup_prob = cfg.mixup if cfg.mixup > 0 and heavy_aug else 0.0
         sums: Dict[str, float] = {}
         count = 0
         pending = None
         for step, _, batch in self._device_batches(
-                loader, ekey, train=True, mosaic_prob=mosaic_prob):
+                loader, ekey, train=True, mosaic_prob=mosaic_prob,
+                mixup_prob=mixup_prob):
             self.state, metrics = self.train_step(self.state, batch)
             pending = metrics
             count += 1

@@ -338,6 +338,73 @@ def test_mosaic_random_wrapper():
     assert bool(jnp.all(jnp.isfinite(db["images"])))
 
 
+def test_mixup_compose_exact():
+    """Deterministic mixup core: pixel blend at the given lambda, label
+    union valid-first, truncation to the padded G slots."""
+    import jax.numpy as jnp
+    from custom_yolo_tpu.data.transforms import mixup_compose
+
+    n, h, w, g = 2, 8, 8, 4
+    images = np.stack([np.full((h, w, 3), 0.2, np.float32),
+                       np.full((h, w, 3), 0.8, np.float32)])
+    boxes = np.zeros((n, g, 4), np.float32)
+    boxes[0, 0] = [2, 2, 2, 2]
+    boxes[1, 0] = [6, 6, 2, 2]
+    boxes[1, 1] = [4, 4, 2, 2]
+    labels = np.asarray([[1, 0, 0, 0], [2, 3, 0, 0]], np.int32)
+    mask = np.asarray([[1, 0, 0, 0], [1, 1, 0, 0]], bool)
+    perm = np.asarray([1, 0])
+    lam = np.asarray([0.25, 0.5], np.float32)
+
+    img, b, lab, m = map(np.asarray, mixup_compose(
+        jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(labels),
+        jnp.asarray(mask), jnp.asarray(perm), jnp.asarray(lam)))
+    # blend: 0.25·0.2 + 0.75·0.8 = 0.65; 0.5·0.8 + 0.5·0.2 = 0.5
+    np.testing.assert_allclose(img[0], np.full((h, w, 3), 0.65), atol=1e-6)
+    np.testing.assert_allclose(img[1], np.full((h, w, 3), 0.5), atol=1e-6)
+    # union of labels, valid-first: out0 = own box + both of image 1's
+    assert m[0].sum() == 3 and m[1].sum() == 3
+    np.testing.assert_array_equal(lab[0][:3], [1, 2, 3])
+    np.testing.assert_allclose(b[0][0], [2, 2, 2, 2])
+    np.testing.assert_allclose(b[0][1], [6, 6, 2, 2])
+    np.testing.assert_array_equal(lab[1][:3], [2, 3, 1])
+    # masked slots zeroed
+    np.testing.assert_allclose(b[0][3], 0.0)
+
+
+def test_mixup_random_wrapper():
+    import jax
+    import jax.numpy as jnp
+    from custom_yolo_tpu.data.transforms import make_device_batch, mixup
+
+    rng = np.random.RandomState(2)
+    n, h, w, g = 8, 16, 16, 5
+    images = rng.rand(n, h, w, 3).astype(np.float32)
+    boxes = (rng.rand(n, g, 4) * 6 + 4).astype(np.float32)
+    labels = rng.randint(0, 5, (n, g)).astype(np.int32)
+    mask = rng.rand(n, g) > 0.4
+    key = jax.random.key(11)
+
+    i0, b0, l0, m0 = mixup(jnp.asarray(images), jnp.asarray(boxes),
+                           jnp.asarray(labels), jnp.asarray(mask), key, 0.0)
+    np.testing.assert_allclose(np.asarray(i0), images)
+
+    i1, b1, l1, m1 = map(np.asarray, mixup(
+        jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(labels),
+        jnp.asarray(mask), key, 1.0))
+    # pixel range stays within the convex hull of the sources
+    assert i1.min() >= images.min() - 1e-6
+    assert i1.max() <= images.max() + 1e-6
+    assert np.isin(l1[m1], labels).all()
+
+    host_batch = {"image": (images * 255).astype(np.uint8),
+                  "gt_boxes": boxes, "gt_labels": labels, "gt_mask": mask}
+    db = make_device_batch(host_batch, key, train=True,
+                           mosaic_prob=0.5, mixup_prob=0.3)
+    assert db["images"].shape == (n, h, w, 3)
+    assert bool(jnp.all(jnp.isfinite(db["images"])))
+
+
 def test_letterbox_resize():
     import jax.numpy as jnp
     from custom_yolo_tpu.data.transforms import letterbox_resize
