@@ -32,6 +32,51 @@ def test_example_help_runs(script):
     assert "usage" in (r.stdout + r.stderr).lower()
 
 
+def test_eda_produces_all_notebook_plot_families(tmp_path):
+    """eda.py at notebook-02 parity: the five figure families (class
+    distribution, box stats, spatial heatmap, per-class area boxplots,
+    annotated samples) are all written from a real parquet + images."""
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(6):
+        name = f"img_{i}.jpg"
+        Image.fromarray((rng.rand(80, 100, 3) * 255).astype(np.uint8)).save(
+            img_dir / name)
+        k = rng.randint(1, 4)
+        rows.append({
+            "file_name": name, "height": 80, "width": 100,
+            "bbox": [[float(rng.randint(0, 50)), float(rng.randint(0, 40)),
+                      float(rng.randint(10, 40)), float(rng.randint(10, 30))]
+                     for _ in range(k)],
+            "category_id": [int(rng.randint(0, 3)) for _ in range(k)],
+            "name": [["cat", "dog", "bus"][int(rng.randint(0, 3))]
+                     for _ in range(k)],
+            "supercategory": [["animal", "animal", "vehicle"][
+                int(rng.randint(0, 3))] for _ in range(k)],
+        })
+    pq_dir = tmp_path / "parquet"
+    pq_dir.mkdir()
+    pd.DataFrame(rows).to_parquet(pq_dir / "part-0.parquet")
+
+    plots = tmp_path / "plots"
+    r = _run([os.path.join("examples", "eda.py"),
+              "--parquet", str(pq_dir), "--images", str(img_dir),
+              "--save_plots", str(plots)], timeout=300)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    assert "images: 6" in r.stdout
+    assert "area split @640" in r.stdout
+    for fam in ("class_distribution", "box_stats", "spatial_heatmap",
+                "area_by_class", "samples"):
+        f = plots / f"{fam}.png"
+        assert f.exists() and f.stat().st_size > 1000, fam
+
+
 def test_train_smoke_synthetic_cpu():
     # n-preset train-step CPU compile is ~2-4 min cold; the persistent
     # cache (shared with the rest of the suite) makes reruns seconds
