@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Sustained disk→detections serving pipeline (VERDICT r3 #5).
+
+Measures the FULL serving path on real files: JPEG decode (native C++
+thread pool, ``runtime/src/decoder.cpp``) → H2D transfer → forward + DFL
+decode + NMS on device (``Detector.serve``) → detection counts fetched to
+host. Host decode and device compute are overlapped: a producer thread
+decodes batch N+1 while the device runs batch N (dispatch is async; the
+fetch of batch N-1's ``num_valid`` provides backpressure).
+
+Reports the sustained rate plus each stage's solo rate, so the bottleneck
+is attributable:
+
+    sustained ≈ min(decode_rate, h2d_rate, chip_rate)
+
+Reference analogue: DataLoader workers + pinned memory feeding
+``model.inference`` (``src/data/data_loader.py:27-37``). Two things the
+reference cannot express:
+
+* ``--fast_decode``: libjpeg DCT-domain prescale toward the resize target
+  + JDCT_IFAST (serving-only approximate path, ``decoder.cpp``).
+* ``--device_preprocess``: ship uint8 and normalize on-chip — 1 byte/px on
+  the host link instead of 4 (fp32) / 2 (bf16).
+
+Environment caveat (documented in docs/SERVING.md): this host has ONE CPU
+core and the TPU is behind a network relay, so the absolute sustained
+number here is a floor; the per-stage rates are the transferable result
+(feeding model: decode cores needed per chip = chip_rate / decode_rate).
+"""
+
+import argparse
+import json
+import os
+import queue
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_jpeg_set(root: str, n: int, size: int, quality: int = 90):
+    """Synthesize a natural-statistics JPEG set (zero egress: no real COCO).
+    Smooth gradients + blobs + mild noise — entropy-decode cost sits near
+    photographic content, unlike pure noise (worst case) or flat (best)."""
+    import numpy as np
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    paths = []
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    for i in range(n):
+        base = np.stack([
+            0.4 + 0.3 * np.sin(2 * np.pi * (xx * rng.uniform(0.5, 2) +
+                                            rng.rand())),
+            0.4 + 0.3 * np.cos(2 * np.pi * (yy * rng.uniform(0.5, 2) +
+                                            rng.rand())),
+            0.5 + 0.2 * np.sin(2 * np.pi * ((xx + yy) * rng.uniform(0.5, 2))),
+        ], axis=-1)
+        for _ in range(6):  # blobs ≈ objects
+            cx, cy, r = rng.rand(), rng.rand(), rng.uniform(0.05, 0.2)
+            m = ((xx - cx) ** 2 + (yy - cy) ** 2) < r * r
+            base[m] = rng.rand(3)
+        img = np.clip(base + rng.randn(size, size, 3) * 0.02, 0, 1)
+        p = os.path.join(root, f"img_{i:04d}.jpg")
+        Image.fromarray((img * 255).astype(np.uint8)).save(p, quality=quality)
+        paths.append(p)
+    return paths
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="x")
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--n_images", type=int, default=512)
+    ap.add_argument("--src_size", type=int, default=1280,
+                    help="source JPEG resolution (COCO-ish is ~640; 1280 "
+                         "exercises the DCT-prescale path)")
+    ap.add_argument("--decode_threads", type=int, default=0,
+                    help="0 = os.cpu_count()")
+    ap.add_argument("--fast_decode", action="store_true")
+    ap.add_argument("--device_preprocess", action="store_true")
+    ap.add_argument("--root", default="/tmp/bench_pipeline_jpegs")
+    ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--top_k", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from custom_yolo_tpu.models import Detector
+    from custom_yolo_tpu.models.presets import PRESETS
+    from custom_yolo_tpu.runtime import NativeDecoder, native_available
+
+    assert native_available(), "native decoder required for this bench"
+    nthreads = args.decode_threads or (os.cpu_count() or 1)
+    dec = NativeDecoder(nthreads)
+
+    tag = f"{args.root}_{args.src_size}_{args.n_images}"
+    paths = (sorted(os.path.join(tag, f) for f in os.listdir(tag))
+             if os.path.isdir(tag) and len(os.listdir(tag)) >= args.n_images
+             else make_jpeg_set(tag, args.n_images, args.src_size))
+
+    p = PRESETS[args.preset]
+    det = Detector(p["width"], p["depth"], p["csp"], num_classes=172,
+                   input_size=(640, 640))
+    det.init()
+    det.fuse()
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def host_pre(u8):
+        if args.device_preprocess:
+            return u8                    # normalize on device
+        return ((u8.astype(np.float32) / 255.0 - mean) / std)
+
+    def run_serve(x):
+        return det.serve(x, conf_thres=args.conf, top_k=args.top_k,
+                         device_preprocess=args.device_preprocess)
+
+    B = args.batch_size
+    batch_paths = [[paths[(i * B + j) % len(paths)] for j in range(B)]
+                   for i in range(args.batches)]
+
+    # ---- stage solos -----------------------------------------------------
+    t0 = time.perf_counter()
+    u8, _, nf = dec.decode_batch(batch_paths[0], 640, 640,
+                                 fast=args.fast_decode)
+    decode_s = time.perf_counter() - t0
+    assert nf == 0
+    x0 = host_pre(u8)
+
+    t0 = time.perf_counter()
+    x_dev = jax.device_put(x0)
+    jax.block_until_ready(x_dev)
+    h2d_s = time.perf_counter() - t0
+
+    r = run_serve(jax.device_put(x0))            # compile
+    jax.block_until_ready(r.num_valid)
+    t0 = time.perf_counter()
+    r = run_serve(x_dev)
+    jax.block_until_ready(r.num_valid)
+    chip_s = time.perf_counter() - t0            # dispatched-call bound
+    # (relay timing caveat: single dispatched call UNDER-estimates cost /
+    # over-estimates rate — treat chip_rate as an upper bound; bench.py's
+    # scan method owns the authoritative chip number)
+
+    # ---- sustained pipeline ---------------------------------------------
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def producer():
+        for bp in batch_paths:
+            u8, _, _ = dec.decode_batch(bp, 640, 640, fast=args.fast_decode)
+            q.put(host_pre(u8))
+        q.put(None)
+
+    total = 0
+    t_start = time.perf_counter()
+    threading.Thread(target=producer, daemon=True).start()
+    inflight = []
+    while True:
+        x = q.get()
+        if x is None:
+            break
+        inflight.append(run_serve(jax.device_put(x)))
+        if len(inflight) > 1:                    # depth-1 backpressure
+            total += int(np.sum(np.asarray(
+                jax.device_get(inflight.pop(0).num_valid))))
+    for r in inflight:
+        total += int(np.sum(np.asarray(jax.device_get(r.num_valid))))
+    sustained_s = time.perf_counter() - t_start
+
+    n_total = args.batches * B
+    out = {
+        "metric": f"pipeline_disk_to_detections_{args.preset}",
+        "value": round(n_total / sustained_s, 1),
+        "unit": "images/sec",
+        "batch_size": B,
+        "decode_rate": round(B / decode_s, 1),
+        "h2d_rate": round(B / h2d_s, 1),
+        "chip_rate_upper": round(B / chip_s, 1),
+        "decode_threads": nthreads,
+        "src_size": args.src_size,
+        "fast_decode": args.fast_decode,
+        "device_preprocess": args.device_preprocess,
+        "detections": total,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

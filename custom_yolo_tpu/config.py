@@ -64,6 +64,12 @@ class DataConfig:
     # aspect-preserving letterbox resize instead of the reference's squash
     # (transforms.py:9); geometry is emitted per-sample for inverse mapping
     letterbox: bool = False
+    # stochastic train-time augmentation (flip/jitter; the reference's
+    # get_train_transforms). False = deterministic preprocessing only —
+    # used by equivalence tests (multi-process vs single-process training
+    # must be bit-comparable, which position-keyed flips are not) and for
+    # ablation/debug runs.
+    augment: bool = True
 
 
 @dataclasses.dataclass

@@ -561,7 +561,8 @@ class Detector:
               iou_thres: float = 0.45, max_det: int = 300,
               top_k: int = 1024, merge: bool = False,
               class_filter: Optional[Tuple[int, ...]] = None,
-              multi_label: bool = False):
+              multi_label: bool = False,
+              device_preprocess: bool = False):
         """Batched serving path: preprocessed NHWC batch → fixed-shape
         :class:`~custom_yolo_tpu.ops.nms.NMSResult`. Forward + DFL decode +
         class argmax + batched NMS compile into ONE XLA program (no host
@@ -570,16 +571,26 @@ class Detector:
 
         top_k caps the NMS candidate pool (reference max_nms=30000 analogue,
         model_utils.py:259); merge/class_filter/multi_label mirror the
-        reference's non_max_suppression options (:243-252, :266-272)."""
+        reference's non_max_suppression options (:243-252, :266-272).
+
+        ``device_preprocess=True`` takes RESIZED but otherwise raw uint8
+        NHWC and folds [0,1]-scale + ImageNet normalization into the XLA
+        program (fp32, same arithmetic as :func:`preprocess_image`) — the
+        host→device transfer then moves 1 byte/px instead of 4 (fp32) or 2
+        (bf16), the dominant cost on bandwidth-limited host links."""
         assert self.variables is not None, "call .init() or load weights"
         key = (float(conf_thres), float(iou_thres), int(max_det),
-               int(top_k), bool(merge), class_filter, bool(multi_label))
+               int(top_k), bool(merge), class_filter, bool(multi_label),
+               bool(device_preprocess))
         fn = self._serve_cache.get(key)
         if fn is None:
             module, reg_max = self.module, self.reg_max
 
             @jax.jit
             def serve_fn(variables, images):
+                if device_preprocess:
+                    images = (images.astype(jnp.float32) / 255.0
+                              - IMAGENET_MEAN) / IMAGENET_STD
                 preds, anchors, strides = module.apply(variables, images,
                                                        train=False)
                 boxes, scores = decode_raw_predictions(preds, anchors,

@@ -106,29 +106,44 @@ def shard_train_state(state: Any, mesh: Mesh,
         sh = shape_to_sh.get(getattr(x, "shape", None))
         return sh if sh is not None else replicate(mesh)
 
-    sharded_params = jax.device_put(state.params, param_sh)
+    # put_global (not device_put): multi-process meshes have non-addressable
+    # shardings; each process materializes its shards from the (identical)
+    # host value — parallel/multihost.py
+    from custom_yolo_tpu.parallel.multihost import put_global
+    put_tree = lambda tree, sh_tree: jax.tree.map(put_global, tree, sh_tree)
+    sharded_params = put_tree(state.params, param_sh)
     sharded_opt = jax.tree.map(
-        lambda x: jax.device_put(x, opt_rule(x)), state.opt_state)
+        lambda x: put_global(x, opt_rule(x)), state.opt_state)
     rep = replicate(mesh)
+    put_rep = lambda tree: jax.tree.map(lambda x: put_global(x, rep), tree)
     return state.replace(
         params=sharded_params,
-        batch_stats=jax.device_put(state.batch_stats, rep),
+        batch_stats=put_rep(state.batch_stats),
         opt_state=sharded_opt,
-        step=jax.device_put(state.step, rep),
-        epoch=jax.device_put(state.epoch, rep),
-        rng=jax.device_put(state.rng, rep),
-        plateau=jax.device_put(state.plateau, rep),
+        step=put_global(state.step, rep),
+        epoch=put_global(state.epoch, rep),
+        rng=put_global(state.rng, rep),
+        plateau=put_rep(state.plateau),
         # EMA trees mirror their live counterparts' shard layouts
-        ema_params=(jax.device_put(state.ema_params, param_sh)
+        ema_params=(put_tree(state.ema_params, param_sh)
                     if getattr(state, "ema_params", None) is not None
                     else state.ema_params),
-        ema_batch_stats=(jax.device_put(state.ema_batch_stats, rep)
+        ema_batch_stats=(put_rep(state.ema_batch_stats)
                          if getattr(state, "ema_batch_stats", None)
                          else state.ema_batch_stats),
     )
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Host batch → global device array sharded on the batch dim."""
+    """Host batch → global device array sharded on the batch dim.
+
+    Single-process: plain ``device_put`` (the input IS the global batch).
+    Multi-process: each process holds only its loader shard
+    (``data/loader.py`` ``process_index::process_count``), so the shards are
+    assembled into one global array — the GSPMD replacement for the
+    reference's DistributedSampler + DDP pairing."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        from custom_yolo_tpu.parallel.multihost import globalize_batch
+        return globalize_batch(batch, sh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -64,6 +64,7 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_ubyte),
         ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
     ]
     _lib_handle = lib
     return lib
@@ -87,10 +88,18 @@ class NativeDecoder:
             self._lib.yt_pool_destroy(self._pool)
             self._pool = None
 
-    def decode_batch(self, paths: List[str], out_h: int, out_w: int
+    def decode_batch(self, paths: List[str], out_h: int, out_w: int,
+                     fast: bool = False
                      ) -> Tuple[np.ndarray, np.ndarray, int]:
         """paths → (images (n, out_h, out_w, 3) u8,
-        orig_sizes (n, 2) [w, h] int32, n_failures)."""
+        orig_sizes (n, 2) [w, h] int32, n_failures).
+
+        ``fast=True`` selects the serving decode path: JDCT_IFAST (±1 LSB)
+        + libjpeg DCT-domain prescaling toward the resize target (the
+        block-IDCT downsample is a DIFFERENT resampling than the triangle
+        filter — visually equivalent on natural images but not pixel-exact;
+        measured-neutral on fixture mAP, docs/SERVING.md). Training keeps
+        ``fast=False`` (bit-exact PIL-parity decode)."""
         n = len(paths)
         out = np.empty((n, out_h, out_w, 3), np.uint8)
         sizes = np.zeros((n, 2), np.int32)
@@ -98,5 +107,6 @@ class NativeDecoder:
         failures = self._lib.yt_decode_resize_batch(
             self._pool, arr, n, out_h, out_w,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            1 if fast else 0)
         return out, sizes, int(failures)

@@ -41,8 +41,26 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 // Decode a JPEG file to RGB. Returns true on success; fills w/h and pixel
 // vector (h*w*3). The whole file is slurped into memory first (jpeg_mem_src
 // avoids per-scanline stdio locking) and scanlines are pulled in batches.
+//
+// Serving-path speed knobs (both exact-output-preserving OFF by default;
+// the training loader keeps the slow/exact path):
+//  * fast_dct  — JDCT_IFAST: ~25% cheaper IDCT, ±1 LSB pixel error.
+//  * target_w/target_h — enables libjpeg DCT-domain scaling: pick the
+//    smallest output scale M/8 (M=1..8) that still covers the resize
+//    target, so a 1280² source headed for 640² is inverse-transformed at
+//    half resolution (~4× less IDCT + scanline + resize work; entropy
+//    decode is unchanged). The subsequent triangle resize runs from the
+//    scaled dims; never upscales the DCT (M capped at 8 = identity), so
+//    sources already at/below target are unaffected. NOTE: the block-IDCT
+//    downsample is a different resampling than triangle-filtering the full
+//    decode — outputs are visually equivalent, not pixel-exact.
+// width/height return the DECODED (possibly DCT-scaled) dims the pixel
+// buffer actually holds; orig_width/orig_height the source's true dims
+// (what box rescaling needs).
 bool decode_jpeg_file(const char* path, std::vector<unsigned char>& pixels,
-                      int* width, int* height) {
+                      int* width, int* height, int* orig_width,
+                      int* orig_height, bool fast_dct = false,
+                      int target_w = 0, int target_h = 0) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return false;
   fseek(fp, 0, SEEK_END);
@@ -70,6 +88,24 @@ bool decode_jpeg_file(const char* path, std::vector<unsigned char>& pixels,
   jpeg_mem_src(&cinfo, filebuf.data(), static_cast<unsigned long>(fsize));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  *orig_width = cinfo.image_width;
+  *orig_height = cinfo.image_height;
+  if (fast_dct) cinfo.dct_method = JDCT_IFAST;
+  if (target_w > 0 && target_h > 0) {
+    // smallest M/8 whose output still covers the resize target on BOTH
+    // axes (keeps the downstream triangle filter strictly downscaling or
+    // identity — the target resolution's content is retained)
+    int m = 8;
+    while (m > 1 &&
+           (static_cast<long>(cinfo.image_width) * (m - 1) + 7) / 8 >=
+               target_w &&
+           (static_cast<long>(cinfo.image_height) * (m - 1) + 7) / 8 >=
+               target_h) {
+      --m;
+    }
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
 
   const int w = cinfo.output_width;
@@ -269,11 +305,15 @@ void yt_pool_destroy(void* pool) {
 }
 
 // Decode n JPEGs, resize each to (out_h, out_w), write into out
-// (n*out_h*out_w*3, contiguous). orig_sizes receives n*(w,h) pairs.
+// (n*out_h*out_w*3, contiguous). orig_sizes receives n*(w,h) pairs — always
+// the SOURCE dims (box rescale coordinates), regardless of DCT scaling.
 // Returns the number of failed images (their slots are zeroed).
+// fast != 0 enables the serving path: JDCT_IFAST + DCT-domain prescale to
+// the resize target (exactness-preserving scale selection — see
+// decode_jpeg_file); fast == 0 is the bit-exact training path.
 int yt_decode_resize_batch(void* pool_ptr, const char** paths, int n,
                            int out_h, int out_w, unsigned char* out,
-                           int* orig_sizes) {
+                           int* orig_sizes, int fast) {
   auto* pool = static_cast<ThreadPool*>(pool_ptr);
   std::atomic<int> failures{0};
   std::atomic<int> done{0};
@@ -284,12 +324,15 @@ int yt_decode_resize_batch(void* pool_ptr, const char** paths, int n,
   for (int i = 0; i < n; ++i) {
     pool->submit([&, i] {
       thread_local std::vector<unsigned char> pixels;
-      int w = 0, h = 0;
+      int w = 0, h = 0, ow = 0, oh = 0;
       unsigned char* dst = out + static_cast<size_t>(i) * img_bytes;
-      if (decode_jpeg_file(paths[i], pixels, &w, &h)) {
+      if (decode_jpeg_file(paths[i], pixels, &w, &h, &ow, &oh,
+                           /*fast_dct=*/fast != 0,
+                           /*target_w=*/fast ? out_w : 0,
+                           /*target_h=*/fast ? out_h : 0)) {
         bilinear_resize(pixels.data(), w, h, dst, out_w, out_h);
-        orig_sizes[i * 2] = w;
-        orig_sizes[i * 2 + 1] = h;
+        orig_sizes[i * 2] = ow;
+        orig_sizes[i * 2 + 1] = oh;
       } else {
         memset(dst, 0, img_bytes);
         orig_sizes[i * 2] = 0;

@@ -32,6 +32,7 @@ from custom_yolo_tpu.core.mesh import MeshSpec, create_mesh
 from custom_yolo_tpu.data.transforms import make_device_batch
 from custom_yolo_tpu.eval.decode import decode_predictions, decoded_to_lists
 from custom_yolo_tpu.eval.metrics import DetectionMetrics
+from custom_yolo_tpu.parallel.multihost import fetch_local, local_rows
 from custom_yolo_tpu.parallel.sharding import (
     activation_spec, shard_batch, shard_train_state)
 from custom_yolo_tpu.train.losses import DetectionLoss, LossConfig
@@ -77,6 +78,13 @@ class Trainer:
             ema_decay=tcfg.ema_decay, ema_tau=tcfg.ema_tau,
             warmup_steps=tcfg.warmup_steps)
         self.eval_step = make_eval_step(model, self.loss_fn)
+        if jax.process_count() > 1:
+            # multi-process: align compile completion across processes before
+            # the first collective executes (Gloo context init would time out
+            # against a process still minutes deep in its cold compile)
+            from custom_yolo_tpu.parallel.multihost import AlignedJit
+            self.train_step = AlignedJit(self.train_step, "train_step")
+            self.eval_step = AlignedJit(self.eval_step, "eval_step")
 
         rng = prng.root_key(config.project.seed)
         # defensive copy: the jitted train step donates state buffers for
@@ -241,13 +249,13 @@ class Trainer:
         count = 0
         pending = None
         for step, _, batch in self._device_batches(
-                loader, ekey, train=True, mosaic_prob=mosaic_prob,
-                mixup_prob=mixup_prob):
+                loader, ekey, train=self.config.data.augment,
+                mosaic_prob=mosaic_prob, mixup_prob=mixup_prob):
             self.state, metrics = self.train_step(self.state, batch)
             pending = metrics
             count += 1
             if (step + 1) % cfg.log_interval == 0:
-                fetched = jax.device_get(metrics)
+                fetched = fetch_local(metrics)
                 for k, v in fetched.items():
                     sums[k] = sums.get(k, 0.0) + float(v) * cfg.log_interval
                 if self.metrics_logger is not None:
@@ -256,7 +264,7 @@ class Trainer:
                         step=int(self.state.step))
                 pending = None
         if pending is not None:
-            fetched = jax.device_get(pending)
+            fetched = fetch_local(pending)
             rem = count % cfg.log_interval or cfg.log_interval
             for k, v in fetched.items():
                 sums[k] = sums.get(k, 0.0) + float(v) * rem
@@ -271,13 +279,34 @@ class Trainer:
         det = DetectionMetrics(self.config.model.num_classes)
         sums: Dict[str, float] = {}
         count = 0
+        multiproc = jax.process_count() > 1
         for step, host_batch, batch in self._device_batches(loader, ekey,
                                                             train=False):
             metrics, preds, anchors, strides = self.eval_step(self.state,
                                                               batch)
-            for k, v in jax.device_get(metrics).items():
+            for k, v in fetch_local(metrics).items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            decoded = decode_predictions(preds, anchors, strides)
+            if multiproc:
+                # the global eval outputs are not fully addressable here;
+                # decode THIS process's batch rows (they line up with the
+                # process-local host_batch GT below), committed to a local
+                # device so the jitted decode stays process-local. The
+                # ambient `set_mesh(self.mesh)` from fit() would make the
+                # decode jit demand the CROSS-process mesh (devices this
+                # process cannot address) — shadow it with a single-local-
+                # device mesh of the same axis names for the decode call.
+                dev = jax.local_devices()[0]
+                preds, anchors, strides = (
+                    jax.device_put(local_rows(a), dev)
+                    for a in (preds, anchors, strides))
+                local_mesh = jax.sharding.Mesh(
+                    np.asarray([dev]).reshape(
+                        (1,) * len(self.mesh.axis_names)),
+                    self.mesh.axis_names)
+                with jax.sharding.set_mesh(local_mesh):
+                    decoded = decode_predictions(preds, anchors, strides)
+            else:
+                decoded = decode_predictions(preds, anchors, strides)
             pred_lists = decoded_to_lists(decoded)
             gt_boxes = host_batch["gt_boxes"]
             gt_labels = host_batch["gt_labels"]

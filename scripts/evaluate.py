@@ -35,6 +35,14 @@ def main():
                         "original-image coordinates (the official protocol "
                         "uses original coordinates — area ranges depend on "
                         "true pixel sizes)")
+    p.add_argument("--ref_box_convention", action="store_true",
+                   help="interpret predicted box centers as TOP-LEFT "
+                        "corners (SURVEY quirk #2: the reference trains on "
+                        "top-left-xywh GT fed to a center-xywh loss, so "
+                        "its weights place 'centers' at corners). Shifts "
+                        "predictions by +[w/2, h/2] — the charitable "
+                        "format-corrected scoring of a migrated reference "
+                        "checkpoint (docs/QUALITY_PARITY.md)")
     p.add_argument("--quantize", default="none",
                    choices=["none", "dynamic", "static"],
                    help="evaluate the int8 serving path: fuse+quantize the "
@@ -96,7 +104,26 @@ def main():
         pinned_epoch = int(base[12:])
         ckpt_dir = os.path.dirname(os.path.normpath(ckpt_dir))
     ckpt = CheckpointManager(ckpt_dir)
-    if ckpt.latest_epoch() is not None:
+    latest = ckpt.latest_epoch()
+    epoch_dir = (os.path.join(ckpt_dir, f"model_epoch_{pinned_epoch}")
+                 if pinned_epoch is not None else
+                 (os.path.join(ckpt_dir, f"model_epoch_{latest}")
+                  if latest is not None else None))
+    if (epoch_dir is not None
+            and os.path.exists(os.path.join(epoch_dir, "transforms.json"))):
+        # Detector.save_weights layout (raw variables + transforms sidecar)
+        # — what scripts/import_torch.py writes for migrated reference
+        # checkpoints; no TrainState wrapper to restore into
+        from custom_yolo_tpu.models import Detector
+        det = Detector(cfg.model.width, cfg.model.depth, cfg.model.csp,
+                       num_classes=cfg.model.num_classes,
+                       reg_max=cfg.model.reg_max,
+                       precision=cfg.training.sharding.precision,
+                       input_size=tuple(cfg.model.input_size))
+        det.load_weights(epoch_dir)
+        model, variables = det.module, det.variables
+        print(f"[INFO] loaded Detector weights from {epoch_dir}")
+    elif latest is not None:
         tx = build_optimizer(cfg.training)
         template = jax.device_get(
             TrainState.create(variables, tx, jax.random.key(0),
@@ -190,6 +217,12 @@ def main():
         for i, plist in enumerate(pred_lists):
             if pad[i]:
                 continue  # repeated sample padding a sharded batch
+            if args.ref_box_convention and len(plist):
+                # predicted "center" is really the top-left corner — the
+                # true center sits half an extent down-right of it
+                plist = plist.copy()
+                plist[:, 0] += plist[:, 2] / 2
+                plist[:, 1] += plist[:, 3] / 2
             m = gt_mask[i]
             targets = np.concatenate(
                 [gt_boxes[i][m], gt_labels[i][m, None].astype(np.float32)],
