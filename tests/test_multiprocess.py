@@ -38,6 +38,283 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# ---------------------------------------------------------------------------
+# end-to-end: 2-process sharded TRAINING (VERDICT r3 #2 — the reference's
+# torchrun+gloo fake-cluster coverage, distributed_setup.py:6-26, done the
+# jax.distributed way). Each process loads its own loader shard
+# (process_index/process_count — the DistributedSampler analogue,
+# data/loader.py:98-99), batches are assembled into global arrays
+# (parallel/multihost.globalize_batch), the dp-mesh train step syncs
+# gradients implicitly, and validation exercises DetectionMetrics.all_reduce
+# + reduce_metrics (trainer.py _validate). Equivalence oracle: a
+# single-process run over the SAME global batches (the parquet permuted into
+# the 2-process interleave order) must produce the same params and the same
+# validation counters.
+# ---------------------------------------------------------------------------
+
+TRAIN_WORKER = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+coord, pid, nproc, parquet_dir, images_dir, out_npz = sys.argv[1:7]
+pid, nproc = int(pid), int(nproc)
+
+# the train-step compile is minutes on one CPU core — share the repo's
+# persistent compile cache (same dir conftest.py uses) so reruns are warm
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_TEST_CACHE",
+                                 "/tmp/custom_yolo_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+from custom_yolo_tpu.core.mesh import initialize_distributed
+initialize_distributed(coord, nproc, pid)
+assert jax.process_count() == nproc
+assert jax.device_count() == nproc        # 1 CPU device per process
+
+from custom_yolo_tpu.config import Config
+from custom_yolo_tpu.core.dtypes import DTypePolicy
+from custom_yolo_tpu.data.dataset import DetectionDataset
+from custom_yolo_tpu.data.loader import DataLoader
+from custom_yolo_tpu.models import YoloModel
+from custom_yolo_tpu.parallel.multihost import fetch_local
+from custom_yolo_tpu.train.trainer import Trainer
+
+cfg = Config.from_dict({
+    "project": {"num_classes": 3, "seed": 0},
+    "model": {"num_classes": 3, "input_size": [64, 64],
+              "config": {"csp": [False, True], "depth": [1, 1, 1, 1, 1, 1],
+                         "width": [3, 8, 16, 32, 64, 64]}},
+    "data": {"augment": False, "pin_memory": False},
+    "training": {"batch_size": 2, "epochs": 2, "log_interval": 1,
+                 "learning_rate": 1e-3,
+                 "sharding": {"mode": "dp", "precision": "float32"}},
+})
+
+policy = DTypePolicy(compute_dtype=jnp.float32)
+model = YoloModel(width=tuple(cfg.model.width), depth=tuple(cfg.model.depth),
+                  csp=tuple(cfg.model.csp), num_classes=3, policy=policy)
+variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                       train=False)
+
+ds = DetectionDataset(parquet_dir, images_dir, input_size=(64, 64), max_gt=8)
+train_loader = DataLoader(ds, 2, shuffle=False, drop_last=True,
+                          num_workers=0, seed=0,
+                          process_index=pid, process_count=nproc)
+val_loader = DataLoader(ds, 2, shuffle=False, drop_last=False,
+                        num_workers=0, seed=0,
+                        process_index=pid, process_count=nproc)
+assert len(train_loader) == 2             # 8 imgs / 2 procs / batch 2
+
+trainer = Trainer(cfg, model, variables, checkpoint_manager=None)
+assert trainer.mesh is not None and trainer.mesh.devices.size == nproc
+result = trainer.fit(train_loader, val_loader)
+
+rec = result["history"][-1]
+print("HIST", json.dumps({k: float(v) for k, v in rec.items()}), flush=True)
+params = fetch_local(trainer.state.params)
+np.savez(out_npz, *[np.asarray(x) for x in jax.tree.leaves(params)])
+print("SAVED", out_npz, flush=True)
+"""
+
+
+@pytest.fixture(scope="module")
+def mp_project(tmp_path_factory):
+    """8-image / 3-class fixture through the real ETL, plus a second parquet
+    with rows permuted into the 2-process global-batch interleave order
+    [0,2,1,3, 4,6,5,7] — the single-process equivalence oracle sees the
+    exact same global batches the 2-process run assembles."""
+    import json as _json
+
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("mp_proj")
+    ann_dir = root / "annotations"
+    img_dir = root / "images"
+    ann_dir.mkdir()
+    img_dir.mkdir()
+    rng = np.random.RandomState(7)
+    images, annotations = [], []
+    for i in range(8):
+        name = f"img_{i:03d}.jpg"
+        Image.fromarray((rng.rand(96, 96, 3) * 255).astype(np.uint8)).save(
+            img_dir / name)
+        images.append({"id": i + 1, "file_name": name,
+                       "height": 96, "width": 96})
+        for _ in range(2):
+            bw, bh = float(rng.randint(15, 35)), float(rng.randint(15, 35))
+            x, y = float(rng.randint(0, 60)), float(rng.randint(0, 60))
+            annotations.append({
+                "id": len(annotations) + 1, "image_id": i + 1,
+                "category_id": int(rng.choice([1, 2, 3])),
+                "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0,
+                "segmentation": [[x, y, x + bw, y, x + bw, y + bh]]})
+    categories = [{"id": c, "name": n, "supercategory": "s"}
+                  for c, n in ((1, "a"), (2, "b"), (3, "c"))]
+    with open(ann_dir / "instances_val2017.json", "w") as f:
+        _json.dump({"images": images, "annotations": annotations,
+                    "categories": categories}, f)
+
+    from custom_yolo_tpu.data.preprocess import DataPreprocess
+    DataPreprocess.create_parquet_data(
+        annotations_dir=str(ann_dir), output_dir=str(root / "parquet"),
+        output_folder="val", file_names=["instances_val2017.json"],
+        keys=["images", "annotations", "categories"],
+        columns=[["id", "file_name", "height", "width"],
+                 ["id", "image_id", "category_id", "bbox", "area",
+                  "iscrowd", "segmentation"],
+                 ["id", "name", "supercategory"]],
+        chunk_sizes=[100, 100, 100], is_test=False)
+
+    # permuted copy via pyarrow take (keeps the list-column schema exact)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    src = _glob.glob(str(root / "parquet" / "val" / "*.parquet"))[0]
+    table = pq.read_table(src)
+    perm = [0, 2, 1, 3, 4, 6, 5, 7]
+    (root / "parquet_perm" / "val").mkdir(parents=True)
+    pq.write_table(table.take(perm),
+                   str(root / "parquet_perm" / "val" / "val-0.parquet"))
+    return root
+
+
+def test_two_process_train_matches_single(mp_project, tmp_path):
+    """Full 2-process dp training equivalence: identical params across
+    processes, params ≈ single-process oracle, and the all-reduced
+    validation counters == the oracle's single-process counters."""
+    import json as _json
+
+    import numpy as np
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
+    outs = [str(tmp_path / f"params_{pid}.npz") for pid in (0, 1)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(pid), "2",
+         str(mp_project / "parquet" / "val"), str(mp_project / "images"),
+         outs[pid]],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=repo_root) for pid in (0, 1)]
+    hists = []
+    for p in procs:
+        # two concurrent cold train-step compiles on one contended CPU
+        # core can take >10 min; warm (persistent-cache) runs are ~1 min
+        out, err = p.communicate(timeout=1800)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        hists.append(_json.loads(
+            [l for l in out.splitlines() if l.startswith("HIST ")][0][5:]))
+
+    # both processes report the SAME reduced validation metrics
+    for key in ("val/true_positives", "val/false_positives",
+                "val/false_negatives", "val/total_ground_truths",
+                "val/precision", "val/recall", "train/total_loss",
+                "val/total_loss"):
+        assert hists[0][key] == pytest.approx(hists[1][key], rel=1e-6), key
+
+    # dp params are replicated: both processes hold identical weights
+    p0 = np.load(outs[0])
+    p1 = np.load(outs[1])
+    assert list(p0.files) == list(p1.files)
+    for k in p0.files:
+        np.testing.assert_array_equal(p0[k], p1[k])
+
+    # ---- single-process oracle over the same global batches ----
+    import jax
+    import jax.numpy as jnp
+
+    from custom_yolo_tpu.config import Config
+    from custom_yolo_tpu.core.dtypes import DTypePolicy
+    from custom_yolo_tpu.data.dataset import DetectionDataset
+    from custom_yolo_tpu.data.loader import DataLoader
+    from custom_yolo_tpu.models import YoloModel
+    from custom_yolo_tpu.train.trainer import Trainer
+
+    cfg = Config.from_dict({
+        "project": {"num_classes": 3, "seed": 0},
+        "model": {"num_classes": 3, "input_size": [64, 64],
+                  "config": {"csp": [False, True],
+                             "depth": [1, 1, 1, 1, 1, 1],
+                             "width": [3, 8, 16, 32, 64, 64]}},
+        "data": {"augment": False, "pin_memory": False},
+        "training": {"batch_size": 4, "epochs": 2, "log_interval": 1,
+                     "learning_rate": 1e-3,
+                     "sharding": {"mode": "single",
+                                  "precision": "float32"}},
+    })
+    policy = DTypePolicy(compute_dtype=jnp.float32)
+    model = YoloModel(width=tuple(cfg.model.width),
+                      depth=tuple(cfg.model.depth),
+                      csp=tuple(cfg.model.csp), num_classes=3,
+                      policy=policy)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    ds = DetectionDataset(str(mp_project / "parquet_perm" / "val"),
+                          str(mp_project / "images"),
+                          input_size=(64, 64), max_gt=8)
+    train_loader = DataLoader(ds, 4, shuffle=False, drop_last=True,
+                              num_workers=0, seed=0)
+    val_loader = DataLoader(ds, 4, shuffle=False, drop_last=False,
+                            num_workers=0, seed=0)
+    trainer = Trainer(cfg, model, variables, checkpoint_manager=None)
+    result = trainer.fit(train_loader, val_loader)
+    rec = result["history"][-1]
+
+    # validation counters are exact sums — must match the reduced 2-process
+    # counters exactly; losses are means over the same global batches
+    for key in ("val/true_positives", "val/false_positives",
+                "val/false_negatives", "val/total_ground_truths"):
+        assert hists[0][key] == rec[key], key
+    # losses: the partitioned program sums reductions (BN batch stats, loss
+    # means, grad all-reduce) in a different order than the single-device
+    # program; ~1e-7/step fp32 reassociation noise is amplified by 2 epochs
+    # of AdamW into ~3e-4 on the loss scalar (measured; detections above
+    # stay IDENTICAL). A real sharding bug (loss summed not averaged,
+    # missing grad sync, wrong shard order) shows up at O(1) — rel=2e-3
+    # still catches all of those.
+    assert hists[0]["val/total_loss"] == pytest.approx(
+        rec["val/total_loss"], rel=2e-3)
+    assert hists[0]["train/total_loss"] == pytest.approx(
+        rec["train/total_loss"], rel=2e-3)
+
+    # final params: 2-process dp ≈ single process over the same batches.
+    # Pointwise equality is NOT a stable oracle here: XLA:CPU reductions
+    # reassociate differently per run (thread-pool partitioning varies with
+    # machine load), and AdamW renormalizes every step to ~lr, so isolated
+    # near-zero-gradient weights drift by up to a few lr steps after 2
+    # epochs (measured across reruns: tail of 1-4/36864 elements at
+    # 7e-5..1.3e-3). A REAL dp bug (unsynced grads) diverges EVERY weight
+    # by ~lr per step and is caught twice over: the exact worker-vs-worker
+    # equality above (replicated params must be identical), and the
+    # aggregate guard below (systematic drift would be ≥1e-3 mean, 30×
+    # the bound). The pointwise cap only backstops gross single-weight
+    # corruption.
+    oracle = [np.asarray(x) for x in jax.tree.leaves(
+        jax.device_get(trainer.state.params))]
+    assert len(oracle) == len(p0.files)
+    total_abs, total_n = 0.0, 0
+    for k, ref in zip(p0.files, oracle):
+        np.testing.assert_allclose(p0[k], ref, atol=5e-3, rtol=5e-2)
+        total_abs += float(np.abs(p0[k] - ref).sum())
+        total_n += ref.size
+    assert total_abs / total_n < 3e-5, (
+        f"systematic param divergence: mean |Δ| = {total_abs / total_n:.2e}")
+
+
 def test_two_process_reduce(tmp_path):
     port = _free_port()
     coord = f"localhost:{port}"
