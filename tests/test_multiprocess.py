@@ -61,7 +61,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
-coord, pid, nproc, parquet_dir, images_dir, out_npz = sys.argv[1:7]
+coord, pid, nproc, parquet_dir, images_dir, out_npz, mode = sys.argv[1:8]
 pid, nproc = int(pid), int(nproc)
 
 # the train-step compile is minutes on one CPU core — share the repo's
@@ -93,7 +93,12 @@ cfg = Config.from_dict({
     "data": {"augment": False, "pin_memory": False},
     "training": {"batch_size": 2, "epochs": 2, "log_interval": 1,
                  "learning_rate": 1e-3,
-                 "sharding": {"mode": "dp", "precision": "float32"}},
+                 # fsdp_min_weight_size 1024: the tiny test model's biggest
+                 # conv is 3*3*64*64 = 36864 elems — far below the 65536
+                 # production default, so the default would silently
+                 # replicate everything and fsdp mode would degenerate to dp
+                 "sharding": {"mode": mode, "precision": "float32",
+                              "fsdp_min_weight_size": 1024}},
 })
 
 policy = DTypePolicy(compute_dtype=jnp.float32)
@@ -117,7 +122,23 @@ result = trainer.fit(train_loader, val_loader)
 
 rec = result["history"][-1]
 print("HIST", json.dumps({k: float(v) for k, v in rec.items()}), flush=True)
-params = fetch_local(trainer.state.params)
+
+# fsdp: params live as cross-process shards — all-gather to replicated so
+# every process can save the FULL tree (the comparison target). dp: no-op
+# layout change. AlignedJit: compile completion must align across processes
+# before the gather's collectives execute (multihost.py).
+leaves = jax.tree.leaves(trainer.state.params)
+n_sharded = sum(1 for x in leaves if not x.is_fully_replicated)
+print("SHARDED", n_sharded, flush=True)
+if trainer.mesh is not None:
+    from custom_yolo_tpu.parallel.multihost import AlignedJit
+    from custom_yolo_tpu.parallel.sharding import replicate
+    gather = AlignedJit(
+        jax.jit(lambda p: p, out_shardings=replicate(trainer.mesh)),
+        "param_gather")
+    params = fetch_local(gather(trainer.state.params))
+else:
+    params = fetch_local(trainer.state.params)
 np.savez(out_npz, *[np.asarray(x) for x in jax.tree.leaves(params)])
 print("SAVED", out_npz, flush=True)
 """
@@ -185,57 +206,14 @@ def mp_project(tmp_path_factory):
     return root
 
 
-def test_two_process_train_matches_single(mp_project, tmp_path):
-    """Full 2-process dp training equivalence: identical params across
-    processes, params ≈ single-process oracle, and the all-reduced
-    validation counters == the oracle's single-process counters."""
-    import json as _json
-
-    import numpy as np
-
-    port = _free_port()
-    coord = f"localhost:{port}"
-    script = tmp_path / "train_worker.py"
-    script.write_text(TRAIN_WORKER)
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-
-    outs = [str(tmp_path / f"params_{pid}.npz") for pid in (0, 1)]
-    procs = [subprocess.Popen(
-        [sys.executable, str(script), coord, str(pid), "2",
-         str(mp_project / "parquet" / "val"), str(mp_project / "images"),
-         outs[pid]],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        env=env, cwd=repo_root) for pid in (0, 1)]
-    hists = []
-    for p in procs:
-        # two concurrent cold train-step compiles on one contended CPU
-        # core can take >10 min; warm (persistent-cache) runs are ~1 min
-        out, err = p.communicate(timeout=1800)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        hists.append(_json.loads(
-            [l for l in out.splitlines() if l.startswith("HIST ")][0][5:]))
-
-    # both processes report the SAME reduced validation metrics
-    for key in ("val/true_positives", "val/false_positives",
-                "val/false_negatives", "val/total_ground_truths",
-                "val/precision", "val/recall", "train/total_loss",
-                "val/total_loss"):
-        assert hists[0][key] == pytest.approx(hists[1][key], rel=1e-6), key
-
-    # dp params are replicated: both processes hold identical weights
-    p0 = np.load(outs[0])
-    p1 = np.load(outs[1])
-    assert list(p0.files) == list(p1.files)
-    for k in p0.files:
-        np.testing.assert_array_equal(p0[k], p1[k])
-
-    # ---- single-process oracle over the same global batches ----
+@pytest.fixture(scope="module")
+def oracle(mp_project):
+    """Single-process run over the SAME global batches (the permuted
+    parquet) — the equivalence target for BOTH sharding modes. Returns
+    (last history record, param leaves)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from custom_yolo_tpu.config import Config
     from custom_yolo_tpu.core.dtypes import DTypePolicy
@@ -273,6 +251,72 @@ def test_two_process_train_matches_single(mp_project, tmp_path):
     trainer = Trainer(cfg, model, variables, checkpoint_manager=None)
     result = trainer.fit(train_loader, val_loader)
     rec = result["history"][-1]
+    leaves = [np.asarray(x) for x in jax.tree.leaves(
+        jax.device_get(trainer.state.params))]
+    return rec, leaves
+
+
+@pytest.mark.parametrize("mode", ["dp", "fsdp"])
+def test_two_process_train_matches_single(mp_project, oracle, tmp_path,
+                                          mode):
+    """Full 2-process sharded training equivalence (dp AND fsdp): identical
+    gathered params across processes, params ≈ single-process oracle, and
+    the all-reduced validation counters == the oracle's counters."""
+    import json as _json
+
+    import numpy as np
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
+    outs = [str(tmp_path / f"params_{pid}.npz") for pid in (0, 1)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(pid), "2",
+         str(mp_project / "parquet" / "val"), str(mp_project / "images"),
+         outs[pid], mode],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=repo_root) for pid in (0, 1)]
+    hists, sharded = [], []
+    for p in procs:
+        # two concurrent cold train-step compiles on one contended CPU
+        # core can take >10 min; warm (persistent-cache) runs are ~1 min
+        out, err = p.communicate(timeout=1800)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        hists.append(_json.loads(
+            [l for l in out.splitlines() if l.startswith("HIST ")][0][5:]))
+        sharded.append(int(
+            [l for l in out.splitlines()
+             if l.startswith("SHARDED ")][0].split()[1]))
+
+    # mode sanity: fsdp must have actually sharded params (the gather-back
+    # is only a real test if the pre-gather layout was distributed); dp
+    # must have kept everything replicated
+    for n in sharded:
+        assert (n > 0) if mode == "fsdp" else (n == 0), (mode, sharded)
+
+    # both processes report the SAME reduced validation metrics
+    for key in ("val/true_positives", "val/false_positives",
+                "val/false_negatives", "val/total_ground_truths",
+                "val/precision", "val/recall", "train/total_loss",
+                "val/total_loss"):
+        assert hists[0][key] == pytest.approx(hists[1][key], rel=1e-6), key
+
+    # gathered params are identical across processes (dp: replicated all
+    # along; fsdp: the post-fit all-gather must reassemble the same tree)
+    p0 = np.load(outs[0])
+    p1 = np.load(outs[1])
+    assert list(p0.files) == list(p1.files)
+    for k in p0.files:
+        np.testing.assert_array_equal(p0[k], p1[k])
+
+    rec, oracle_leaves = oracle
 
     # validation counters are exact sums — must match the reduced 2-process
     # counters exactly; losses are means over the same global batches
@@ -280,38 +324,39 @@ def test_two_process_train_matches_single(mp_project, tmp_path):
                 "val/false_negatives", "val/total_ground_truths"):
         assert hists[0][key] == rec[key], key
     # losses: the partitioned program sums reductions (BN batch stats, loss
-    # means, grad all-reduce) in a different order than the single-device
-    # program; ~1e-7/step fp32 reassociation noise is amplified by 2 epochs
-    # of AdamW into ~3e-4 on the loss scalar (measured; detections above
-    # stay IDENTICAL). A real sharding bug (loss summed not averaged,
-    # missing grad sync, wrong shard order) shows up at O(1) — rel=2e-3
-    # still catches all of those.
+    # means, grad all-reduce / reduce-scatter) in a different order than
+    # the single-device program; ~1e-7/step fp32 reassociation noise is
+    # amplified by 2 epochs of AdamW into ~3e-4 on the loss scalar
+    # (measured; detections above stay IDENTICAL). A real sharding bug
+    # (loss summed not averaged, missing grad sync, wrong shard order)
+    # shows up at O(1) — rel=2e-3 still catches all of those.
     assert hists[0]["val/total_loss"] == pytest.approx(
         rec["val/total_loss"], rel=2e-3)
     assert hists[0]["train/total_loss"] == pytest.approx(
         rec["train/total_loss"], rel=2e-3)
 
-    # final params: 2-process dp ≈ single process over the same batches.
-    # Pointwise equality is NOT a stable oracle here: XLA:CPU reductions
-    # reassociate differently per run (thread-pool partitioning varies with
-    # machine load), and AdamW renormalizes every step to ~lr, so isolated
-    # near-zero-gradient weights drift by up to a few lr steps after 2
-    # epochs (measured across reruns: tail of 1-4/36864 elements at
-    # 7e-5..1.3e-3). A REAL dp bug (unsynced grads) diverges EVERY weight
-    # by ~lr per step and is caught twice over: the exact worker-vs-worker
-    # equality above (replicated params must be identical), and the
+    # final params: 2-process sharded ≈ single process over the same
+    # batches. Pointwise equality is NOT a stable oracle here: XLA:CPU
+    # reductions reassociate differently per run (thread-pool partitioning
+    # varies with machine load), and AdamW renormalizes every step to ~lr,
+    # so isolated near-zero-gradient weights drift by up to a few lr steps
+    # after 2 epochs (measured across reruns: tail of 1-4/36864 elements at
+    # 7e-5..1.3e-3). A REAL sharding bug (unsynced grads) diverges EVERY
+    # weight by ~lr per step and is caught twice over: the exact
+    # worker-vs-worker equality above, and the
     # aggregate guard below (systematic drift would be ≥1e-3 mean, 30×
     # the bound). The pointwise cap only backstops gross single-weight
     # corruption.
-    oracle = [np.asarray(x) for x in jax.tree.leaves(
-        jax.device_get(trainer.state.params))]
-    assert len(oracle) == len(p0.files)
+    assert len(oracle_leaves) == len(p0.files)
     total_abs, total_n = 0.0, 0
-    for k, ref in zip(p0.files, oracle):
+    for k, ref in zip(p0.files, oracle_leaves):
         np.testing.assert_allclose(p0[k], ref, atol=5e-3, rtol=5e-2)
         total_abs += float(np.abs(p0[k] - ref).sum())
         total_n += ref.size
-    assert total_abs / total_n < 3e-5, (
+    # fsdp gets a slightly looser aggregate bound: reduce-scatter emulation
+    # on XLA:CPU adds one more reassociation layer than dp's all-reduce
+    bound = 3e-5 if mode == "dp" else 1e-4
+    assert total_abs / total_n < bound, (
         f"systematic param divergence: mean |Δ| = {total_abs / total_n:.2e}")
 
 
