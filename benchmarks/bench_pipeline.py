@@ -85,6 +85,11 @@ def main():
     ap.add_argument("--root", default="/tmp/bench_pipeline_jpegs")
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--top_k", type=int, default=512)
+    ap.add_argument("--inflight", type=int, default=1,
+                    help="dispatched-but-unfetched batches kept in flight; "
+                         ">1 overlaps the relay's per-call round-trip "
+                         "latency with the next batch's transfer (on a "
+                         "direct-attached chip, 1 is already enough)")
     args = ap.parse_args()
 
     import jax
@@ -149,7 +154,7 @@ def main():
     # scan method owns the authoritative chip number)
 
     # ---- sustained pipeline ---------------------------------------------
-    q: "queue.Queue" = queue.Queue(maxsize=2)
+    q: "queue.Queue" = queue.Queue(maxsize=args.inflight + 1)
 
     def producer():
         for bp in batch_paths:
@@ -166,7 +171,7 @@ def main():
         if x is None:
             break
         inflight.append(run_serve(jax.device_put(x)))
-        if len(inflight) > 1:                    # depth-1 backpressure
+        if len(inflight) > args.inflight:        # bounded backpressure
             total += int(np.sum(np.asarray(
                 jax.device_get(inflight.pop(0).num_valid))))
     for r in inflight:
@@ -183,6 +188,7 @@ def main():
         "h2d_rate": round(B / h2d_s, 1),
         "chip_rate_upper": round(B / chip_s, 1),
         "decode_threads": nthreads,
+        "inflight": args.inflight,
         "src_size": args.src_size,
         "fast_decode": args.fast_decode,
         "device_preprocess": args.device_preprocess,
