@@ -18,6 +18,14 @@ candidate sets. XLA needs static shapes, so the design is:
 Everything is vmapped over the batch and jit-compatible. A Pallas kernel
 (`custom_yolo_tpu.ops.pallas.nms_pallas`) accelerates step 3 on TPU; this
 module is the portable reference implementation used on CPU and in tests.
+
+Parity note — ``time_limit``: the reference aborts NMS after a wall-clock
+budget (``model_utils.py:212,275-277``, 0.05 s + 0.05 s/img) and returns
+partial results. That escape hatch has NO analogue here by design: a jitted
+fixed-shape XLA program has a statically bounded runtime (top_k² IoU matrix
++ top_k-iteration loop), so there is no pathological input that could need
+a timeout — the condition the hatch guards against cannot occur. Documented
+non-feature, not an omission.
 """
 
 from __future__ import annotations

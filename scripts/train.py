@@ -39,6 +39,14 @@ def parse_args():
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # experiment-sweep overrides (multi-seed error bars, checkpoint-cadence
+    # studies — docs/QUALITY_PARITY.md): each defaults to the config value
+    p.add_argument("--seed", type=int, default=None,
+                   help="override project.seed (init + data order + augment)")
+    p.add_argument("--save_interval", type=int, default=None,
+                   help="override checkpoint.save_interval")
+    p.add_argument("--checkpoint_dir", default=None,
+                   help="override checkpoint.checkpoint_dir")
     return p.parse_args()
 
 
@@ -79,6 +87,12 @@ def main():
         cfg.data.prefetch_factor = args.prefetch_factor
     if args.epochs:
         cfg.training.epochs = args.epochs
+    if args.seed is not None:
+        cfg.project.seed = args.seed
+    if args.save_interval is not None:
+        cfg.checkpoint.save_interval = args.save_interval
+    if args.checkpoint_dir is not None:
+        cfg.checkpoint.checkpoint_dir = args.checkpoint_dir
 
     # checkpoint-resume forces arch/precision consistency via the sidecar
     # (reference distributed_training.py:43-50)
