@@ -155,6 +155,10 @@ class CheckpointConfig:
     best_model_metric: str = "val/loss"
     best_model_mode: str = "min"
     checkpoint_dir: str = "./dataset/experiments/checkpoints"
+    # None = keep every saved epoch, matching the reference's
+    # save_checkpoint (src/training/utils_train.py:49 — never prunes).
+    # Set a number to bound disk for long runs.
+    max_to_keep: Optional[int] = None
 
 
 @dataclasses.dataclass

@@ -39,7 +39,8 @@ class CheckpointManager:
     """Async orbax manager writing ``model_epoch_{e}`` steps (the
     reference's file-name convention, utils_train.py:49)."""
 
-    def __init__(self, checkpoint_dir: str, max_to_keep: int = 5):
+    def __init__(self, checkpoint_dir: str,
+                 max_to_keep: Optional[int] = None):
         self.directory = os.path.abspath(checkpoint_dir)
         os.makedirs(self.directory, exist_ok=True)
         self._manager = ocp.CheckpointManager(

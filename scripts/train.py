@@ -178,7 +178,8 @@ def main():
             "csp": list(cfg.model.csp),
             "num_classes": cfg.model.num_classes,
             "mode": mode, "precision": cfg.training.sharding.precision})
-        ckpt = CheckpointManager(ckpt_dir)
+        ckpt = CheckpointManager(
+            ckpt_dir, max_to_keep=cfg.checkpoint.max_to_keep)
         metrics_logger = MetricsLogger(
             cfg.wandb, log_dir=cfg.project.log_dir,
             run_name=f"{args.device}_{mode}_"
