@@ -99,10 +99,11 @@ _STALL_FALLBACK = {
     "value": None, "unit": "images/sec/chip",
     "vs_baseline": None,
     "relay_stall": True,
-    "last_known_good": 675.32,
+    "last_known_good": 675.19,
     "note": ("live measurement did not complete before the stall cap — "
              "no fresh sample this run; last_known_good is the prior "
-             "committed warm-cache measurement (2026-08-19, same graph)"),
+             "committed warm-cache measurement (2026-08-21, same graph, "
+             "fresh-container live run)"),
     "hw_roofline_img_s": 980, "parity_x_ceiling_img_s": 650,
     "n_preset_e2e_img_s": 5118,
 }
